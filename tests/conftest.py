@@ -1,0 +1,30 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is how the multi-chip sharding paths are exercised without TPU
+hardware (the reference never tested multi-node at all — SURVEY.md §4).
+Must run before jax initializes its backends.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# this image's sitecustomize imports jax and pins JAX_PLATFORMS=axon (the
+# TPU tunnel) before conftest runs, so the env var alone is not enough —
+# override through the config API before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(42)
