@@ -1,0 +1,71 @@
+"""RoI box head: RoIAlign pooler + res5 + FastRCNN predictor.
+
+Reference:
+  * ResNet50Conv5ROIFeatureExtractor (roi_box_feature_extractors.py:13-55):
+    Pooler(RoIAlign 7x7 @ 1/16, sampling 2) → res5 head; also returns the
+    raw pooled features consumed by ARD distillation and box-memory PBS.
+  * FastRCNNPredictor (roi_box_predictors.py:7-33): global avg-pool →
+    cls_score(num_classes) + bbox_pred(4*num_classes), init std .01/.001.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.roi_align import roi_align
+from .resnet import Res5Head
+
+
+class RoiBoxHead(nn.Module):
+    num_classes: int
+    pooler_resolution: int = 7
+    pooler_scale: float = 1.0 / 16
+    pooler_sampling_ratio: int = 2
+    dtype: Any = jnp.float32
+    roi_align_precision: str = "default"
+
+    @nn.compact
+    def __call__(self, features, rois, rois_valid=None):
+        """features [B,H,W,C]; rois [B,S,4] → (logits [B,S,K],
+        box_reg [B,S,4K], roi_feats [B,S,7,7,C], head_feats [B,S,2048])."""
+        b, s = rois.shape[:2]
+
+        pool = jax.vmap(
+            lambda f, r: roi_align(
+                f,
+                r,
+                output_size=self.pooler_resolution,
+                spatial_scale=self.pooler_scale,
+                sampling_ratio=self.pooler_sampling_ratio,
+                precision=self.roi_align_precision,
+            )
+        )(features, rois)
+        roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency
+
+        x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
+        x = Res5Head(dtype=self.dtype, name="res5")(x)  # [BS, 4, 4, 2048]
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [BS, 2048]
+
+        cls_logits = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype,
+            name="cls_score",
+        )(x)
+        box_reg = nn.Dense(
+            self.num_classes * 4,
+            kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype,
+            name="bbox_pred",
+        )(x)
+        head_feats = x.reshape(b, s, -1)
+        return (
+            cls_logits.reshape(b, s, self.num_classes).astype(jnp.float32),
+            box_reg.reshape(b, s, self.num_classes * 4).astype(jnp.float32),
+            roi_feats,
+            head_feats,
+        )

@@ -1,0 +1,97 @@
+"""RPN proposal selection with static shapes.
+
+Reference: maskrcnn_benchmark/modeling/rpn/inference.py:76-118 —
+sigmoid objectness → per-image top-k (pre_nms_top_n) → decode with
+weights (1,1,1,1) → clip → remove_small → NMS(0.7) capped at
+post_nms_top_n → (train) append gt boxes with objectness 1
+(inference.py:53-74).
+
+All outputs are fixed-size padded arrays; our NMS returns boxes in
+descending objectness order, so downstream "sort by objectness" steps
+(teacher soften-proposal selection) become no-ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures import boxes as B
+from ..ops.nms import nms_padded
+
+
+class Proposals(NamedTuple):
+    boxes: jnp.ndarray  # [B, P, 4]
+    scores: jnp.ndarray  # [B, P] objectness (sigmoid)
+    valid: jnp.ndarray  # [B, P] bool
+
+
+def _select_single(
+    obj_logits,
+    deltas,
+    anchors,
+    size_hw,
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+):
+    scores = jax.nn.sigmoid(obj_logits.astype(jnp.float32))
+    k = min(pre_nms_top_n, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_deltas = deltas[top_idx]
+    top_anchors = anchors[top_idx]
+
+    boxes = B.decode_boxes(
+        top_deltas.astype(jnp.float32), top_anchors, weights=(1.0, 1.0, 1.0, 1.0)
+    )
+    boxes = B.clip_boxes_dynamic(boxes, size_hw)
+    valid = B.small_box_mask(boxes, min_size) if min_size > 0 else jnp.ones((k,), bool)
+
+    keep_idx, keep_valid = nms_padded(
+        boxes, top_scores, valid, iou_threshold=nms_thresh, max_output=post_nms_top_n
+    )
+    return boxes[keep_idx], top_scores[keep_idx], keep_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size"),
+)
+def select_proposals(
+    objectness,
+    box_regression,
+    anchors,
+    sizes_hw,
+    pre_nms_top_n: int = 12000,
+    post_nms_top_n: int = 2000,
+    nms_thresh: float = 0.7,
+    min_size: float = 0.0,
+) -> Proposals:
+    """objectness [B, HWA], box_regression [B, HWA, 4], anchors [HWA, 4],
+    sizes_hw [B, 2]."""
+    fn = functools.partial(
+        _select_single,
+        pre_nms_top_n=pre_nms_top_n,
+        post_nms_top_n=post_nms_top_n,
+        nms_thresh=nms_thresh,
+        min_size=min_size,
+    )
+    boxes, scores, valid = jax.vmap(fn, in_axes=(0, 0, None, 0))(
+        objectness, box_regression, anchors, sizes_hw
+    )
+    return Proposals(boxes, scores, valid)
+
+
+def append_gt_proposals(proposals: Proposals, gt_boxes, gt_mask) -> Proposals:
+    """Concatenate gt boxes (objectness 1) onto the padded proposal set
+    (reference: rpn/inference.py:53-74)."""
+    boxes = jnp.concatenate([proposals.boxes, gt_boxes], axis=1)
+    scores = jnp.concatenate(
+        [proposals.scores, jnp.ones(gt_mask.shape, proposals.scores.dtype)], axis=1
+    )
+    valid = jnp.concatenate([proposals.valid, gt_mask], axis=1)
+    return Proposals(boxes, scores, valid)

@@ -1,0 +1,175 @@
+"""ResNet backbone with frozen BatchNorm, NHWC, bf16-friendly.
+
+TPU-native re-design of the reference backbone
+(maskrcnn_benchmark/modeling/backbone/resnet.py): Caffe2-style
+bottlenecks (stride in the first 1x1, reference defaults.py:303), frozen
+batch-norm folded to a scale/bias affine (reference
+layers/batch_norm.py), stem = 7x7/2 conv + maxpool 3x3/2.
+
+``R-50-C4`` exposes the stage-3 (1024-ch, stride-16) feature map for the
+RPN + RoI heads; ``Res5Head`` is the per-RoI stage-4 used as the box
+head (reference roi_box_feature_extractors.py:13-55).  Stage freezing
+(FREEZE_CONV_BODY_AT) is handled outside the module by an optimizer
+mask — parameters, not module state, which is the idiomatic JAX shape
+for "requires_grad=False".
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """Constant-affine BN: y = x * scale + bias with frozen statistics.
+
+    Parameters live in the ``params`` collection but must be masked out
+    of the optimizer (see solver.optim.trainable_mask) — matching the
+    reference where FrozenBatchNorm2d buffers never receive gradients.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        running_mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        running_var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight / jnp.sqrt(running_var)
+        shift = bias - running_mean * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+def _conv(features, kernel, stride, name, dtype, use_bias=False):
+    pad = [(k // 2, k // 2) for k in (kernel, kernel)]
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=pad,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """Caffe2-style bottleneck (stride_in_1x1=True), FrozenBN."""
+
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        residual = x
+        if in_channels != self.out_channels:
+            residual = _conv(self.out_channels, 1, self.stride, "downsample_conv", self.dtype)(x)
+            residual = FrozenBatchNorm(self.out_channels, self.dtype, name="downsample_bn")(
+                residual
+            )
+        out = _conv(self.bottleneck_channels, 1, self.stride, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.bottleneck_channels, 3, 1, "conv2", self.dtype)(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.out_channels, 1, 1, "conv3", self.dtype)(out)
+        out = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(out)
+        return nn.relu(out + residual)
+
+
+class Stage(nn.Module):
+    block_count: int
+    bottleneck_channels: int
+    out_channels: int
+    first_stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.block_count):
+            x = Bottleneck(
+                self.bottleneck_channels,
+                self.out_channels,
+                stride=self.first_stride if i == 0 else 1,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+        return x
+
+
+class Stem(nn.Module):
+    out_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(self.out_channels, 7, 2, "conv1", self.dtype)(x)
+        x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        # maxpool 3x3 stride 2 pad 1 (torch semantics)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x
+
+
+# (block_count per stage, R-50)
+R50_STAGES = (3, 4, 6, 3)
+R101_STAGES = (3, 4, 23, 3)
+
+
+class ResNetC4(nn.Module):
+    """Stem + stages 1-3 → [B, H/16, W/16, 1024] (reference R-50-C4).
+
+    Returns (c4, backbone_features) like the reference ResNet.forward
+    (resnet.py:145-155) — backbone_features are per-stage maps used by
+    the `std` feature-distillation ablation.
+    """
+
+    stages: Sequence[int] = R50_STAGES[:3]
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Stem(dtype=self.dtype, name="stem")(x.astype(self.dtype))
+        backbone_features = []
+        for idx, block_count in enumerate(self.stages):
+            factor = 2**idx
+            x = Stage(
+                block_count=block_count,
+                bottleneck_channels=self.width_per_group * factor,
+                out_channels=self.res2_out_channels * factor,
+                first_stride=1 if idx == 0 else 2,
+                dtype=self.dtype,
+                name=f"layer{idx + 1}",
+            )(x)
+            backbone_features.append(x)
+        return x, backbone_features
+
+
+class Res5Head(nn.Module):
+    """Stage-4 RoI head: [N, 7, 7, 1024] → [N, 4, 4, 2048]
+    (reference ResNetHead, resnet.py:158-207; first stride 2)."""
+
+    block_count: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Stage(
+            block_count=self.block_count,
+            bottleneck_channels=512,
+            out_channels=2048,
+            first_stride=2,
+            dtype=self.dtype,
+            name="layer4",
+        )(x)
