@@ -1,0 +1,193 @@
+"""Default configuration tree.
+
+Key names and default values mirror the reference's yacs tree
+(maskrcnn_benchmark/config/defaults.py) so the reference's YAML task
+configs load unchanged; the ``TPU`` section holds the knobs the
+TPU-native design adds (static canvas, padded sizes, mesh, dtype).
+"""
+
+from __future__ import annotations
+
+from .node import ConfigNode as CN
+
+_C = CN()
+
+# ---------------------------------------------------------------- MODEL
+_C.MODEL = CN()
+_C.MODEL.RPN_ONLY = False
+_C.MODEL.MASK_ON = False
+_C.MODEL.RETINANET_ON = False
+_C.MODEL.KEYPOINT_ON = False
+_C.MODEL.DEVICE = "tpu"
+_C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+_C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
+_C.MODEL.WEIGHT = ""
+_C.MODEL.SOURCE_WEIGHT = ""
+
+_C.MODEL.BACKBONE = CN()
+_C.MODEL.BACKBONE.CONV_BODY = "R-50-C4"
+_C.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+_C.MODEL.BACKBONE.FREEZE = False
+
+_C.MODEL.RESNETS = CN()
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+_C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 1024
+_C.MODEL.RESNETS.RES5_DILATION = 1
+
+_C.MODEL.RPN = CN()
+_C.MODEL.RPN.USE_FPN = False
+_C.MODEL.RPN.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RPN.ANCHOR_STRIDE = (16,)
+_C.MODEL.RPN.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RPN.STRADDLE_THRESH = 0
+_C.MODEL.RPN.FG_IOU_THRESHOLD = 0.7
+_C.MODEL.RPN.BG_IOU_THRESHOLD = 0.3
+_C.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+_C.MODEL.RPN.POSITIVE_FRACTION = 0.5
+_C.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 12000
+_C.MODEL.RPN.PRE_NMS_TOP_N_TEST = 6000
+_C.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 2000
+_C.MODEL.RPN.POST_NMS_TOP_N_TEST = 1000
+_C.MODEL.RPN.NMS_THRESH = 0.7
+_C.MODEL.RPN.MIN_SIZE = 0
+_C.MODEL.RPN.RPN_HEAD = "SingleConvRPNHead"
+_C.MODEL.RPN.EXTERNAL_PROPOSAL = False
+_C.MODEL.RPN.CONV_FREEZE = False
+_C.MODEL.RPN.CLS_FREEZE = False
+_C.MODEL.RPN.BBS_FREEZE = False
+_C.MODEL.RPN.FREEZE = False
+
+_C.MODEL.ROI_HEADS = CN()
+_C.MODEL.ROI_HEADS.USE_FPN = False
+_C.MODEL.ROI_HEADS.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+_C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+_C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+_C.MODEL.ROI_HEADS.FC_FREEZE = False
+_C.MODEL.ROI_HEADS.CLS_FREEZE = False
+_C.MODEL.ROI_HEADS.BBS_FREEZE = False
+_C.MODEL.ROI_HEADS.CLS_OFFSET = False
+_C.MODEL.ROI_HEADS.BBS_OFFSET = False
+_C.MODEL.ROI_HEADS.SCORE_THRESH = 0.05
+_C.MODEL.ROI_HEADS.NMS = 0.5
+_C.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 100
+
+_C.MODEL.ROI_BOX_HEAD = CN()
+_C.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "ResNet50Conv5ROIFeatureExtractor"
+_C.MODEL.ROI_BOX_HEAD.PREDICTOR = "FastRCNNPredictor"
+_C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+_C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+_C.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
+_C.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = ()
+_C.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = ()
+_C.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES = ()
+
+# ---------------------------------------------------------------- INPUT
+_C.INPUT = CN()
+_C.INPUT.MIN_SIZE_TRAIN = (800,)
+_C.INPUT.MAX_SIZE_TRAIN = 1333
+_C.INPUT.MIN_SIZE_TEST = 800
+_C.INPUT.MAX_SIZE_TEST = 1333
+_C.INPUT.FLIP_PROB_TRAIN = 0.5
+_C.INPUT.PIXEL_MEAN = (102.9801, 115.9465, 122.7717)
+_C.INPUT.PIXEL_STD = (1.0, 1.0, 1.0)
+_C.INPUT.TO_BGR255 = True
+_C.INPUT.BRIGHTNESS = 0.0
+_C.INPUT.CONTRAST = 0.0
+_C.INPUT.SATURATION = 0.0
+_C.INPUT.HUE = 0.0
+
+# ---------------------------------------------------------------- DATA
+_C.DATASETS = CN()
+_C.DATASETS.TRAIN = ()
+_C.DATASETS.TEST = ()
+
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 4
+_C.DATALOADER.SIZE_DIVISIBILITY = 32
+_C.DATALOADER.ASPECT_RATIO_GROUPING = True
+
+# ---------------------------------------------------------------- SOLVER
+_C.SOLVER = CN()
+_C.SOLVER.MAX_ITER = 40000
+_C.SOLVER.BASE_LR = 0.001
+_C.SOLVER.BIAS_LR_FACTOR = 2
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (30000,)
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_ITERS = 500
+_C.SOLVER.WARMUP_METHOD = "linear"
+_C.SOLVER.CHECKPOINT_PERIOD = 2500
+_C.SOLVER.IMS_PER_BATCH = 16
+
+# ---------------------------------------------------------------- TEST
+_C.TEST = CN()
+_C.TEST.EXPECTED_RESULTS = ()
+_C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
+_C.TEST.IMS_PER_BATCH = 8
+_C.TEST.DETECTIONS_PER_IMG = 100
+_C.TEST.COCO_ALPHABETICAL_ORDER = False
+
+# ---------------------------------------------------------------- misc
+_C.OUTPUT_DIR = "./output"
+_C.TENSORBOARD_DIR = "./tensorboardx"
+_C.PATHS_CATALOG = ""
+_C.SEED = 42
+
+# ------------------------------------------------- distillation (ABR/IOD)
+_C.INCREMENTAL = False
+_C.DIST = CN()
+_C.DIST.ROI_ALIGN = False
+_C.DIST.TYPE = "l2"  # l2 | id | none
+_C.DIST.RPN = False
+_C.DIST.FEAT = False  # False | 'std' | 'ard'
+_C.DIST.ATT = False
+_C.DIST.ALPHA = 0.0
+_C.DIST.BETA = 0.0
+_C.DIST.GAMMA = 1.0
+
+# ------------------------------------------------- Augmented Box Replay
+_C.UCE_WEIGHT = 1.0
+_C.MEM_BUFF = None
+_C.MEM_TYPE = False  # random | mean | herding
+_C.IS_SAMPLE = False
+_C.IS_FATHER = False
+
+_C.DTYPE = "float32"
+_C.CLS_PER_STEP = -1
+_C.AMP_VERBOSE = False
+
+# ---------------------------------------------------------------- TPU
+# Static-shape / SPMD knobs introduced by the TPU-native re-design.
+_C.TPU = CN()
+# padded canvas for compiled train/eval programs (multiples of 32)
+_C.TPU.CANVAS_TRAIN = (832, 1344)
+_C.TPU.CANVAS_TEST = (832, 1344)
+_C.TPU.MAX_GT = 64  # padded ground-truth slots per image
+# static pre-NMS top-k used by the compiled proposal selector; the
+# reference's 12000 is dynamic-shape-friendly on GPU but wasteful on TPU
+_C.TPU.PRE_NMS_TOP_N_TRAIN = 2048
+_C.TPU.PRE_NMS_TOP_N_TEST = 2048
+_C.TPU.POST_NMS_TOP_N_TRAIN = 512
+_C.TPU.POST_NMS_TOP_N_TEST = 512
+_C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
+_C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
+_C.TPU.SOFTEN_TOPK = 128  # teacher keeps top-128 proposals …
+_C.TPU.SOFTEN_KEEP = 64  # … and randomly retains 64 (generalized_rcnn.py:141-165)
+_C.TPU.MESH_DATA = -1  # -1: all devices on the data axis
+_C.TPU.MESH_MODEL = 1
+_C.TPU.EVAL_NMS_PER_CLASS_TOPK = 100  # per-class NMS cap at eval time
+
+
+def get_default_config():
+    return _C.clone()

@@ -1,0 +1,52 @@
+"""Evaluation forward pass (reference: engine/inference.py:43-101 —
+per-image eval forward → box head postprocess; the reference disabled
+its multi-GPU gather (inference.py:136-137); here the eval step is
+batch-sharded over the mesh like training, fixing that wart).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.anchors import grid_anchors
+from ..models.proposals import select_proposals
+from ..models.postprocess import postprocess_detections
+from ..models.rpn import flatten_rpn_outputs
+
+
+def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
+    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
+    anchors = jnp.asarray(
+        grid_anchors(
+            feat_h, feat_w, stride,
+            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        )
+    )
+
+    @jax.jit
+    def eval_step(params, pixels, sizes):
+        features, _ = model.apply(params, pixels, method="backbone")
+        objectness, box_deltas = model.apply(params, features, method="rpn")
+        obj_f, reg_f = flatten_rpn_outputs(objectness, box_deltas)
+        props = select_proposals(
+            obj_f, reg_f, anchors, sizes,
+            pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TEST),
+            post_nms_top_n=int(cfg.TPU.POST_NMS_TOP_N_TEST),
+            nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
+            min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+        )
+        cls_logits, box_reg, _, _ = model.apply(
+            params, features, props.boxes, method="roi_heads"
+        )
+        return postprocess_detections(
+            cls_logits, box_reg, props.boxes, props.valid, sizes,
+            score_thresh=float(cfg.MODEL.ROI_HEADS.SCORE_THRESH),
+            nms_thresh=float(cfg.MODEL.ROI_HEADS.NMS),
+            detections_per_img=int(cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG),
+            per_class_topk=int(cfg.TPU.EVAL_NMS_PER_CLASS_TOPK),
+        )
+
+    return eval_step, anchors

@@ -1,0 +1,154 @@
+"""First-task / joint training step (reference: engine/trainer.py:40-143 +
+tools/train_first_step.py:35-116), compiled as ONE jit program.
+
+The whole iteration — backbone, RPN, proposal selection, matching,
+sampling, RoI head, losses, SGD update — is a single XLA program over a
+batch-sharded input on the device mesh; the gradient all-reduce that DDP
+did on GPU is inserted by XLA (SURVEY.md §2.9 TPU-native mapping).
+Loss metrics come back already globally averaged, which subsumes the
+reference's ``reduce_loss_dict`` collective (engine/trainer.py:15-37).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import losses as L
+from ..models.anchors import grid_anchors, anchor_visibility
+from ..models.proposals import select_proposals, append_gt_proposals
+from ..models.rpn import flatten_rpn_outputs
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Batch(NamedTuple):
+    pixels: jnp.ndarray  # [B, H, W, 3] normalized
+    sizes: jnp.ndarray  # [B, 2] valid (h, w)
+    gt_boxes: jnp.ndarray  # [B, M, 4]
+    gt_labels: jnp.ndarray  # [B, M] int32
+    gt_mask: jnp.ndarray  # [B, M] bool
+
+
+def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
+                             dist_type: str = "none", n_old_classes: int = 0,
+                             stop_backbone_grad_in_proposals: bool = True):
+    """Shared forward+loss computation; returns (total, metrics, aux).
+
+    aux carries everything the incremental step's distillation needs
+    (features, backbone features, rpn outputs, sampled roi features,
+    student logits) — mirroring GeneralizedRCNN's training forward
+    return tuple (generalized_rcnn.py:89-93).
+    """
+    k_rpn, k_roi = jax.random.split(key)
+
+    features, backbone_feats = model.apply(params, batch.pixels, method="backbone")
+    objectness, box_deltas = model.apply(params, features, method="rpn")
+    obj_f, reg_f = flatten_rpn_outputs(objectness, box_deltas)
+
+    vis = anchor_visibility(
+        anchors[None, :, :], batch.sizes[:, 0:1].astype(jnp.float32),
+        batch.sizes[:, 1:2].astype(jnp.float32),
+        straddle_thresh=float(cfg.MODEL.RPN.STRADDLE_THRESH),
+    )
+    rpn_tgts = L.prepare_rpn_targets(
+        anchors, vis, batch.gt_boxes, batch.gt_labels, batch.gt_mask
+    )
+    obj_loss, rpn_box_loss = L.rpn_loss(
+        obj_f, reg_f, rpn_tgts, k_rpn,
+        batch_size_per_image=int(cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE),
+        positive_fraction=float(cfg.MODEL.RPN.POSITIVE_FRACTION),
+    )
+
+    props = select_proposals(
+        jax.lax.stop_gradient(obj_f),
+        jax.lax.stop_gradient(reg_f),
+        anchors,
+        batch.sizes,
+        pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TRAIN),
+        post_nms_top_n=int(cfg.TPU.POST_NMS_TOP_N_TRAIN),
+        nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
+        min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+    )
+    props = append_gt_proposals(props, batch.gt_boxes, batch.gt_mask)
+
+    roi_tgts = L.prepare_roi_targets(
+        props.boxes, props.valid, batch.gt_boxes, batch.gt_labels, batch.gt_mask,
+        fg_iou=float(cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD),
+        bg_iou=float(cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD),
+        bbox_reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+    )
+    rois, rlabels, rtgts, rvalid, rpos = L.subsample_rois(
+        roi_tgts, props.boxes, k_roi,
+        batch_size_per_image=int(cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE),
+        positive_fraction=float(cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION),
+    )
+    rois = jax.lax.stop_gradient(rois)
+
+    cls_logits, box_reg, roi_feats, _ = model.apply(
+        params, features, rois, method="roi_heads"
+    )
+    cls_loss, box_loss = L.roi_box_loss(
+        cls_logits, box_reg, rlabels, rtgts, rvalid,
+        dist_type=dist_type, n_old_classes=n_old_classes,
+    )
+
+    total = obj_loss + rpn_box_loss + cls_loss + box_loss
+    metrics = {
+        "loss_objectness": obj_loss,
+        "loss_rpn_box_reg": rpn_box_loss,
+        "loss_classifier": cls_loss,
+        "loss_box_reg": box_loss,
+        "loss": total,
+    }
+    aux = {
+        "features": features,
+        "backbone_features": backbone_feats,
+        "rpn_objectness": objectness,
+        "rpn_box_deltas": box_deltas,
+        "proposals": props,
+        "rois": rois,
+        "roi_valid": rvalid,
+        "roi_features": roi_feats,
+        "cls_logits": cls_logits,
+        "box_reg": box_reg,
+    }
+    return total, metrics, aux
+
+
+def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
+    """Build the jitted first-task train step."""
+    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
+    anchors = jnp.asarray(
+        grid_anchors(
+            feat_h, feat_w, stride,
+            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        )
+    )
+
+    def loss_fn(params, batch, key):
+        total, metrics, _ = forward_detection_losses(
+            model, params, batch, key, cfg, anchors
+        )
+        return total, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(int(cfg.SEED)), state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step, anchors

@@ -25,6 +25,9 @@ class RoiBoxHead(nn.Module):
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 2
+    res5_blocks: int = 3
+    res5_bottleneck: int = 512
+    res5_out: int = 2048
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
 
@@ -47,7 +50,13 @@ class RoiBoxHead(nn.Module):
         roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency
 
         x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
-        x = Res5Head(dtype=self.dtype, name="res5")(x)  # [BS, 4, 4, 2048]
+        x = Res5Head(
+            block_count=self.res5_blocks,
+            bottleneck_channels=self.res5_bottleneck,
+            out_channels=self.res5_out,
+            dtype=self.dtype,
+            name="res5",
+        )(x)  # [BS, 4, 4, 2048]
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [BS, 2048]
 
         cls_logits = nn.Dense(

@@ -30,16 +30,32 @@ from .box_head import RoiBoxHead
 class FasterRCNN(nn.Module):
     num_classes: int  # includes background (VOC 15-5 first task: 16)
     num_anchors: int = 15
+    # backbone/head size knobs (defaults = R-50-C4; shrink for unit tests)
+    backbone_stages: tuple = (3, 4, 6)
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    res5_blocks: int = 3
+    res5_bottleneck: int = 512
+    res5_out: int = 2048
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
 
     def setup(self):
-        self.backbone_net = ResNetC4(dtype=self.dtype, name="backbone")
+        self.backbone_net = ResNetC4(
+            stages=self.backbone_stages,
+            width_per_group=self.width_per_group,
+            res2_out_channels=self.res2_out_channels,
+            dtype=self.dtype,
+            name="backbone",
+        )
         self.rpn_head = RPNHead(
             num_anchors=self.num_anchors, dtype=self.dtype, name="rpn"
         )
         self.box_head = RoiBoxHead(
             num_classes=self.num_classes,
+            res5_blocks=self.res5_blocks,
+            res5_bottleneck=self.res5_bottleneck,
+            res5_out=self.res5_out,
             dtype=self.dtype,
             roi_align_precision=self.roi_align_precision,
             name="roi_heads",

@@ -161,14 +161,16 @@ class Res5Head(nn.Module):
     (reference ResNetHead, resnet.py:158-207; first stride 2)."""
 
     block_count: int = 3
+    bottleneck_channels: int = 512
+    out_channels: int = 2048
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return Stage(
             block_count=self.block_count,
-            bottleneck_channels=512,
-            out_channels=2048,
+            bottleneck_channels=self.bottleneck_channels,
+            out_channels=self.out_channels,
             first_stride=2,
             dtype=self.dtype,
             name="layer4",

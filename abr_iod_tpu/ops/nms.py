@@ -61,7 +61,6 @@ def _self_suppress(iou_tril: jnp.ndarray, init_keep: jnp.ndarray, thresh: float)
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "max_output", "tile"))
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -68,16 +68,6 @@ def _interp_matrix(start, bin_size, size: int, pooled: int, sampling_ratio: int,
     return w.astype(dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "output_size",
-        "spatial_scale",
-        "sampling_ratio",
-        "roi_chunk",
-        "precision",
-    ),
-)
 def roi_align(
     features: jnp.ndarray,
     rois: jnp.ndarray,

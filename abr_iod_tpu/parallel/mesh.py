@@ -1,0 +1,78 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism is DDP/NCCL data parallelism
+(tools/train_first_step.py:60-65, utils/comm.py — SURVEY.md §2.9).  The
+TPU-native equivalent is a ``jax.sharding.Mesh`` with a ``data`` axis
+(batch-sharded inputs, replicated params; XLA inserts the gradient
+all-reduce over ICI) plus an optional ``model`` axis for tensor-sharded
+heavy weights (res5 / predictor) — capability the reference never had.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data <= 0:
+        n_data = len(devices) // n_model
+    use = n_data * n_model
+    arr = np.array(devices[:use]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of [B, ...] arrays batch-sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def _is_tp_kernel(names) -> bool:
+    """Heavy matmul weights worth sharding over 'model': the res5 RoI head
+    convs and the predictor Dense kernels (the FLOPs live there)."""
+    if "res5" in names and names[-1] == "kernel":
+        return True
+    if names[-1] == "kernel" and any(n in ("cls_score", "bbox_pred") for n in names):
+        return True
+    return False
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedShardings for a param tree: TP-shard heavy kernels on their
+    output-channel dim over 'model', replicate the rest.  With
+    MESH_MODEL=1 this degrades to pure replication (reference-equivalent
+    data parallelism)."""
+    model_size = mesh.shape["model"]
+
+    def one(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if (
+            model_size > 1
+            and leaf.ndim >= 2
+            and _is_tp_kernel(names)
+            and leaf.shape[-1] % model_size == 0
+        ):
+            spec = [None] * (leaf.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
