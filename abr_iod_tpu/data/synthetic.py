@@ -1,0 +1,110 @@
+"""Synthetic VOC generator.
+
+Writes a real on-disk VOC2007-style tree (JPEGImages/, Annotations/,
+ImageSets/Main with per-class ``<cls>_<split>.txt`` membership files) so
+the ENTIRE pipeline — VOCDataSource, PBS crops, Mem JPEGs, tools/ CLI —
+is exercised through the same file formats the reference consumes.
+Images are colored rectangles on noise; each "class" has a distinct hue
+so learned models can actually fit them in smoke tests.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import xml.etree.ElementTree as ET
+from typing import Sequence
+
+import numpy as np
+
+from ..config.catalog import VOC_CLASSES
+
+
+def _class_color(label: int):
+    rng = np.random.RandomState(label * 7919)
+    return rng.randint(60, 255, size=3)
+
+
+def make_synthetic_voc(
+    root: str,
+    n_images: int = 40,
+    classes: Sequence[str] = VOC_CLASSES,
+    splits=("trainval", "test"),
+    image_hw=(240, 320),
+    max_objects: int = 4,
+    seed: int = 0,
+):
+    """Create a synthetic VOC tree under `root` covering every split."""
+    rng = np.random.RandomState(seed)
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+
+    h, w = image_hw
+    per_split_ids = {s: [] for s in splits}
+    membership = {s: {c: {} for c in classes} for s in splits}
+
+    img_counter = 0
+    for split in splits:
+        for _ in range(n_images):
+            img_id = f"{img_counter:06d}"
+            img_counter += 1
+            per_split_ids[split].append(img_id)
+
+            img = rng.randint(0, 60, size=(h, w, 3)).astype(np.uint8)
+            n_obj = rng.randint(1, max_objects + 1)
+            objects = []
+            present = set()
+            for _ in range(n_obj):
+                cls_name = classes[rng.randint(len(classes))]
+                label = VOC_CLASSES.index(cls_name) + 1
+                bw = rng.randint(int(w * 0.15), int(w * 0.5))
+                bh = rng.randint(int(h * 0.15), int(h * 0.5))
+                x1 = rng.randint(0, w - bw)
+                y1 = rng.randint(0, h - bh)
+                color = _class_color(label)
+                img[y1 : y1 + bh, x1 : x1 + bw] = color
+                # inner marker so crops are distinguishable from background
+                img[y1 + bh // 4 : y1 + 3 * bh // 4, x1 + bw // 4 : x1 + 3 * bw // 4] = (
+                    255 - color
+                )
+                objects.append((cls_name, x1 + 1, y1 + 1, x1 + bw, y1 + bh))  # 1-based
+                present.add(cls_name)
+
+            Image.fromarray(img).save(os.path.join(root, "JPEGImages", f"{img_id}.jpg"))
+            _write_annotation(root, img_id, h, w, objects)
+            for c in classes:
+                membership[split][c][img_id] = 1 if c in present else -1
+
+    for split in splits:
+        with open(os.path.join(root, "ImageSets", "Main", f"{split}.txt"), "w") as f:
+            f.write("\n".join(per_split_ids[split]) + "\n")
+        for c in classes:
+            path = os.path.join(root, "ImageSets", "Main", f"{c}_{split}.txt")
+            with open(path, "w") as f:
+                for img_id in per_split_ids[split]:
+                    flag = membership[split][c][img_id]
+                    # canonical VOC format: "id  1" present, "id -1" absent
+                    f.write(f"{img_id}  1\n" if flag == 1 else f"{img_id} -1\n")
+    return per_split_ids
+
+
+def _write_annotation(root, img_id, h, w, objects):
+    ann = ET.Element("annotation")
+    size = ET.SubElement(ann, "size")
+    ET.SubElement(size, "height").text = str(h)
+    ET.SubElement(size, "width").text = str(w)
+    ET.SubElement(size, "depth").text = "3"
+    for cls_name, x1, y1, x2, y2 in objects:
+        obj = ET.SubElement(ann, "object")
+        ET.SubElement(obj, "name").text = cls_name
+        ET.SubElement(obj, "difficult").text = "0"
+        bb = ET.SubElement(obj, "bndbox")
+        ET.SubElement(bb, "xmin").text = str(x1)
+        ET.SubElement(bb, "ymin").text = str(y1)
+        ET.SubElement(bb, "xmax").text = str(x2)
+        ET.SubElement(bb, "ymax").text = str(y2)
+    tree = ET.ElementTree(ann)
+    tree.write(os.path.join(root, "Annotations", f"{img_id}.xml"))

@@ -1,0 +1,148 @@
+import os
+
+import numpy as np
+import pytest
+
+from abr_iod_tpu.config import get_default_config, VOC_CLASSES
+from abr_iod_tpu.data.synthetic import make_synthetic_voc
+from abr_iod_tpu.data.voc import VOCDataSource
+from abr_iod_tpu.data.loader import DetectionLoader
+from abr_iod_tpu.data import transforms as T
+from abr_iod_tpu.evaluation.voc_eval import eval_detection_voc
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc") / "VOC2007")
+    make_synthetic_voc(root, n_images=12, classes=VOC_CLASSES[:6], image_hw=(120, 160))
+    return root
+
+
+def test_voc_source_modes(voc_root):
+    new = VOC_CLASSES[:4]
+    old = ()
+    src = VOCDataSource(voc_root, "trainval", "train_new", old, new, ())
+    assert len(src) > 0
+    rec = src.annotation(0)
+    assert rec["boxes"].shape[1] == 4
+    assert (rec["labels"] >= 1).all()
+    # only classes 1..4 appear (others not excluded → kept only if new?)
+    # train_new keeps everything except old/excluded; classes 5,6 may appear
+    img = src.load_image(0)
+    assert img.shape == (120, 160, 3)
+
+
+def test_voc_source_old_class_filtering(voc_root):
+    old, new = VOC_CLASSES[:2], VOC_CLASSES[2:4]
+    src = VOCDataSource(voc_root, "trainval", "train_new", old, new, ())
+    for i in range(len(src)):
+        labels = src.annotation(i)["labels"]
+        assert not np.isin(labels, [1, 2]).any()  # old classes dropped in train
+    src_test = VOCDataSource(voc_root, "test", "test_all", old, new, ())
+    found_old = any(
+        np.isin(src_test.annotation(i)["labels"], [1, 2]).any()
+        for i in range(len(src_test))
+    )
+    assert found_old  # test keeps old-class GTs
+
+
+def test_voc_excluded_class_filtering(voc_root):
+    excluded = (VOC_CLASSES[5],)
+    src = VOCDataSource(voc_root, "test", "test_all", (), VOC_CLASSES[:5], excluded)
+    for i in range(len(src)):
+        labels = src.annotation(i)["labels"]
+        assert not (labels == 6).any()
+
+
+def test_resize_and_flip_roundtrip():
+    img = np.zeros((100, 200, 3), np.uint8)
+    boxes = np.array([[10.0, 20.0, 50.0, 60.0]])
+    canvas, (nh, nw), scaled = T.resize_to_canvas(img, boxes, 800, 1333, (832, 1344))
+    # ratio capped by canvas: 832/100=8.32 → but shortest-side rule: 800/100=8, long 200*8=1600>1333 → 1333/200=6.665
+    assert abs(nw - 1333) <= 1
+    np.testing.assert_allclose(scaled[0, 0], 10 * nw / 200, rtol=1e-5)
+    flipped_img, flipped = T.hflip(canvas, (nh, nw), scaled)
+    np.testing.assert_allclose(flipped[0, 2], nw - scaled[0, 0] - 1, rtol=1e-5)
+
+
+def test_loader_batches(voc_root):
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 160)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.TPU.MAX_GT = 8
+    src = VOCDataSource(voc_root, "trainval", "train_new", (), VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True)
+    batches = list(loader.prefetched(max_batches=3))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b.pixels.shape == (4, 128, 160, 3)
+    assert b.gt_boxes.shape == (4, 8, 4)
+    assert b.gt_mask.any()
+    # boxes inside valid region
+    for i in range(4):
+        h, w = b.sizes[i]
+        bx = b.gt_boxes[i][b.gt_mask[i]]
+        assert (bx[:, 2] <= w + 1e-3).all() and (bx[:, 3] <= h + 1e-3).all()
+
+
+def test_eval_map_perfect_predictions():
+    gt = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50], [60, 60, 100, 100]]),
+            "labels": np.array([1, 2]),
+            "difficult": np.array([False, False]),
+        }
+    ]
+    pred = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50], [60, 60, 100, 100]]),
+            "labels": np.array([1, 2]),
+            "scores": np.array([0.9, 0.8]),
+        }
+    ]
+    res = eval_detection_voc(pred, gt)
+    assert res["map"] == pytest.approx(1.0)
+
+
+def test_eval_map_false_positive_and_difficult():
+    gt = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50], [60, 60, 100, 100]]),
+            "labels": np.array([1, 1]),
+            "difficult": np.array([False, True]),
+        }
+    ]
+    # one TP, one FP (bad box), one match to difficult gt (ignored)
+    pred = [
+        {
+            "boxes": np.array(
+                [[10.0, 10, 50, 50], [200, 200, 240, 240], [60, 60, 100, 100]]
+            ),
+            "labels": np.array([1, 1, 1]),
+            "scores": np.array([0.9, 0.8, 0.7]),
+        }
+    ]
+    res = eval_detection_voc(pred, gt)
+    # n_pos=1, tp=1 at rank1; fp at rank2; difficult match ignored
+    # AP = area under PR: rec hits 1.0 at prec 1.0 → AP=1.0
+    assert res["ap"][1] == pytest.approx(1.0)
+
+
+def test_eval_map_missed_gt():
+    gt = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50], [60, 60, 100, 100]]),
+            "labels": np.array([1, 1]),
+            "difficult": np.array([False, False]),
+        }
+    ]
+    pred = [
+        {
+            "boxes": np.array([[10.0, 10, 50, 50]]),
+            "labels": np.array([1]),
+            "scores": np.array([0.9]),
+        }
+    ]
+    res = eval_detection_voc(pred, gt)
+    assert res["ap"][1] == pytest.approx(0.5)
