@@ -141,6 +141,22 @@ class DetectionLoader:
                 return
             yield item
 
+    def raw_batches(self) -> Iterator[tuple]:
+        """ABR path: yields (pixels_raw [B,H,W,3] RGB 0-255, sizes,
+        orig_sizes, gt_boxes, gt_labels, gt_mask) with NO normalization —
+        on-device fusion blends raw pixels first (see abr_fusion)."""
+        assert not self.normalize, "construct with normalize=False for raw batches"
+        it = self._indices()
+        rng = np.random.RandomState(self.seed + 7 + self.start_iter)
+        while True:
+            items = []
+            for _ in range(self.batch_size):
+                idx = next(it)
+                canvas, size_hw, pb, pl, pm, rec = self._load_one(idx, rng)
+                orig = np.array([rec["height"], rec["width"]], np.int32)
+                items.append((canvas, size_hw, orig, pb, pl, pm))
+            yield tuple(map(np.stack, zip(*items)))
+
     def eval_batches(self):
         """Eval iteration: yields (Batch, records, n_valid) keeping the
         per-image metadata needed by the evaluator."""
