@@ -187,6 +187,14 @@ _C.TPU.SOFTEN_KEEP = 64  # … and randomly retains 64 (generalized_rcnn.py:141-
 _C.TPU.MESH_DATA = -1  # -1: all devices on the data axis
 _C.TPU.MESH_MODEL = 1
 _C.TPU.EVAL_NMS_PER_CLASS_TOPK = 100  # per-class NMS cap at eval time
+# backbone/head size overrides (defaults = R-50-C4; tests shrink these)
+_C.TPU.BACKBONE_STAGES = (3, 4, 6)
+_C.TPU.RES5_BLOCKS = 3
+_C.TPU.RES5_BOTTLENECK = 512
+_C.TPU.RES5_OUT = 2048
+# host-side loader knobs
+_C.TPU.PREFETCH_DEPTH = 2
+_C.TPU.CROP_BANK_HW = (192, 192)
 
 
 def get_default_config():

@@ -56,6 +56,21 @@ class ConfigNode(dict):
             out[k] = v.clone() if isinstance(v, ConfigNode) else copy.deepcopy(v)
         return out
 
+    @staticmethod
+    def _decode(v):
+        """yacs compatibility: YAML values like "(16,)" arrive as strings —
+        decode python-literal tuples/lists (yacs _decode_cfg_value)."""
+        if isinstance(v, str) and v[:1] in "([":
+            import ast
+
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+        if isinstance(v, list):
+            v = tuple(v)
+        return v
+
     def _merge(self, other: dict, path="") -> None:
         for k, v in other.items():
             here = f"{path}.{k}" if path else k
@@ -66,9 +81,7 @@ class ConfigNode(dict):
                     raise KeyError(f"cannot merge dict into scalar at {here}")
                 self[k]._merge(v, here)
             else:
-                if isinstance(v, list):
-                    v = tuple(v)
-                self[k] = v
+                self[k] = self._decode(v)
 
     def merge_from_file(self, path: str) -> None:
         if self.is_frozen():
@@ -93,10 +106,13 @@ class ConfigNode(dict):
                 node = node[p]
             leaf = parts[-1]
             if isinstance(value, str):
-                try:
-                    value = yaml.safe_load(value)
-                except Exception:
-                    pass
+                decoded = self._decode(value)
+                if decoded is value:
+                    try:
+                        decoded = yaml.safe_load(value)
+                    except Exception:
+                        decoded = value
+                value = decoded
             if isinstance(value, list):
                 value = tuple(value)
             node[leaf] = value

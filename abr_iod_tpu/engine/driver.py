@@ -1,0 +1,306 @@
+"""High-level train/eval orchestration shared by the tools/ CLIs.
+
+This is the TPU-native analogue of the reference's per-tool ``train`` /
+``do_train`` / ``test`` functions (tools/train_first_step.py:35-156,
+tools/train_incremental.py:55-314, engine/trainer.py, engine/
+inference.py): model construction from cfg, weight loading with head
+growth, the compiled step loops, checkpointing cadence, VOC evaluation
+and the ``output/{task}.txt`` per-class-AP ledger.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.catalog import DatasetCatalog, VOC_CLASSES
+from ..data.loader import DetectionLoader
+from ..data.voc import VOCDataSource
+from ..evaluation.voc_eval import eval_detection_voc
+from ..models.build import build_detection_model
+from ..parallel.mesh import make_mesh, shard_batch, shard_params
+from ..solver.optim import make_optimizer
+from ..utils.checkpoint import Checkpointer, align_and_update_params
+from ..utils.logging import MetricLogger, ScalarWriter, setup_logger
+from .incremental import make_incremental_train_step
+from .inference import make_eval_step
+from .train import Batch, TrainState, make_train_step
+
+
+# --------------------------------------------------------------- datasets
+def make_data_source(cfg, dataset_name: str, mode: str) -> VOCDataSource:
+    """mode: train_new | test_all | sample_new (see data/voc.py)."""
+    spec = DatasetCatalog.get(dataset_name)
+    root = spec["root"]
+    if spec["factory"].startswith("Synthetic"):
+        root = os.path.join(DatasetCatalog.DATA_DIR, "synthetic_voc/VOC2007")
+        if not os.path.isdir(os.path.join(root, "JPEGImages")):
+            from ..data.synthetic import make_synthetic_voc
+
+            make_synthetic_voc(
+                root,
+                n_images=int(os.environ.get("ABR_IOD_SYNTH_IMAGES", "24")),
+                image_hw=(
+                    int(os.environ.get("ABR_IOD_SYNTH_H", "240")),
+                    int(os.environ.get("ABR_IOD_SYNTH_W", "320")),
+                ),
+            )
+        spec = {"split": "trainval" if mode != "test_all" else "test"}
+    return VOCDataSource(
+        root,
+        spec["split"],
+        mode,
+        old_classes=tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES),
+        new_classes=tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES),
+        excluded_classes=tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES),
+        keep_difficult=(mode == "test_all"),
+    )
+
+
+# --------------------------------------------------------------- params
+def init_params(cfg, model, seed: Optional[int] = None):
+    canvas = tuple(cfg.TPU.CANVAS_TRAIN)
+    pixels = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
+    rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 32.0, 32.0])
+    return model.init(jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED)),
+                      pixels, rois)
+
+
+def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
+    """Init + optional checkpoint load with head-growth alignment
+    (reference: utils/model_serialization.py:10-91)."""
+    fresh = init_params(cfg, model)
+    path = weight_path if weight_path is not None else str(cfg.MODEL.WEIGHT)
+    if not path:
+        if logger:
+            logger.info("no MODEL.WEIGHT — training from random init")
+        return fresh
+    payload = Checkpointer.load_file(path)
+    old = payload["params"] if "params" in payload else payload
+    log_fn = logger.info if logger else None
+    return align_and_update_params(fresh, old, log_fn=log_fn)
+
+
+def _mesh_from_cfg(cfg, batch_size: Optional[int] = None):
+    import math
+
+    n_model = int(cfg.TPU.MESH_MODEL)
+    n_data = int(cfg.TPU.MESH_DATA)
+    if n_data <= 0:
+        n_data = max(len(jax.devices()) // n_model, 1)
+        if batch_size is not None and batch_size % n_data != 0:
+            # batch must divide over the data axis; fall back to the
+            # largest compatible mesh rather than crashing
+            n_data = math.gcd(batch_size, n_data)
+    return make_mesh(n_data, n_model)
+
+
+# --------------------------------------------------------------- training
+def run_first_task_training(cfg, logger=None, max_iter_override=None):
+    """First-task / joint training (tools/train_first_step.py:35-116)."""
+    logger = logger or setup_logger("abr_iod_tpu.first", cfg.OUTPUT_DIR)
+    mesh = _mesh_from_cfg(cfg, int(cfg.SOLVER.IMS_PER_BATCH))
+    model = build_detection_model(cfg)
+    params = load_params(cfg, model, logger)
+
+    tx = make_optimizer(cfg, params)
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+    writer = ScalarWriter(cfg.TENSORBOARD_DIR)
+    canvas = tuple(cfg.TPU.CANVAS_TRAIN)
+
+    source = make_data_source(cfg, cfg.DATASETS.TRAIN[0], "train_new")
+    loader = DetectionLoader(
+        source, cfg, batch_size=int(cfg.SOLVER.IMS_PER_BATCH), is_train=True,
+        seed=int(cfg.SEED),
+    )
+    max_iter = int(max_iter_override or cfg.SOLVER.MAX_ITER)
+    checkpoint_period = int(cfg.SOLVER.CHECKPOINT_PERIOD)
+
+    with jax.sharding.set_mesh(mesh):
+        params = shard_params(mesh, params)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        train_step, _ = make_train_step(model, tx, cfg, canvas)
+
+        meters = MetricLogger()
+        t0 = time.time()
+        last = t0
+        for it, batch in enumerate(loader.prefetched(max_batches=max_iter), 1):
+            state, metrics = train_step(state, shard_batch(mesh, batch))
+            if it % 20 == 0 or it == max_iter:
+                m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                meters.update(**m, time=(now - last) / min(20, it))
+                last = now
+                if it % 100 == 0 or it == max_iter:
+                    logger.info(f"iter {it}/{max_iter}  {meters}")
+                    for k, v in m.items():
+                        writer.add_scalar(k, v, it)
+            if it % checkpoint_period == 0:
+                checkpointer.save("model_last", {"params": jax.device_get(state.params),
+                                                 "iteration": it})
+        params_final = jax.device_get(state.params)
+    checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
+    checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
+    logger.info(f"training done in {time.time() - t0:.1f}s")
+    return params_final
+
+
+def run_incremental_training(cfg_source, cfg_target, logger=None,
+                             max_iter_override=None):
+    """ABR incremental step (tools/train_incremental.py:184-249)."""
+    logger = logger or setup_logger("abr_iod_tpu.incremental", cfg_target.OUTPUT_DIR)
+    mesh = _mesh_from_cfg(cfg_target, int(cfg_target.SOLVER.IMS_PER_BATCH))
+    model_teacher = build_detection_model(cfg_source)
+    model_student = build_detection_model(cfg_target)
+
+    teacher_params = load_params(cfg_source, model_teacher, logger)
+    student_params = load_params(cfg_target, model_student, logger)
+
+    tx = make_optimizer(cfg_target, student_params)
+    checkpointer = Checkpointer(cfg_target.OUTPUT_DIR)
+    writer = ScalarWriter(cfg_target.TENSORBOARD_DIR)
+    canvas = tuple(cfg_target.TPU.CANVAS_TRAIN)
+    n_old = len(tuple(cfg_target.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES))
+
+    # data: ABR (with device crop bank) when MEM_BUFF is set, else finetune
+    use_mem = cfg_target.MEM_BUFF not in (None, 0, False)
+    source = make_data_source(cfg_target, cfg_target.DATASETS.TRAIN[0], "train_new")
+    batch_size = int(cfg_target.SOLVER.IMS_PER_BATCH)
+    max_iter = int(max_iter_override or cfg_target.SOLVER.MAX_ITER)
+    checkpoint_period = int(cfg_target.SOLVER.CHECKPOINT_PERIOD)
+
+    if use_mem:
+        from ..data.abr_fusion import make_abr_batch_fn
+        from ..memory.rehearsal import Mem, load_crop_bank
+
+        mem = Mem(cfg_target, step=int(cfg_target.get("STEP", 1)),
+                  img_root=source.root)
+        mem_path = mem.current_mem_path or mem.first_mem_path
+        bank = load_crop_bank(mem_path, tuple(cfg_target.TPU.CROP_BANK_HW))
+        fuse = make_abr_batch_fn(cfg_target, bank)
+        loader = DetectionLoader(source, cfg_target, batch_size, is_train=True,
+                                 seed=int(cfg_target.SEED), normalize=False)
+        raw_iter = loader.raw_batches()
+
+        def batch_iter():
+            k = jax.random.PRNGKey(int(cfg_target.SEED) + 1)
+            for i, raw in enumerate(raw_iter):
+                if i >= max_iter:
+                    return
+                k, sub = jax.random.split(k)
+                yield fuse(*[jnp.asarray(x) for x in raw], sub)
+
+        batches = batch_iter()
+    else:
+        loader = DetectionLoader(source, cfg_target, batch_size, is_train=True,
+                                 seed=int(cfg_target.SEED))
+        batches = loader.prefetched(max_batches=max_iter)
+
+    with jax.sharding.set_mesh(mesh):
+        teacher_params = shard_params(mesh, teacher_params)
+        student_params = shard_params(mesh, student_params)
+        state = TrainState(student_params, tx.init(student_params),
+                           jnp.zeros((), jnp.int32))
+        step_fn, _ = make_incremental_train_step(
+            model_teacher, model_student, tx, cfg_target, canvas, n_old
+        )
+        meters = MetricLogger()
+        t0 = time.time()
+        for it, batch in enumerate(batches, 1):
+            state, metrics = step_fn(state, teacher_params, shard_batch(mesh, batch))
+            if it % 20 == 0 or it == max_iter:
+                m = {k: float(v) for k, v in metrics.items()}
+                meters.update(**m)
+                if it % 100 == 0 or it == max_iter:
+                    logger.info(f"iter {it}/{max_iter}  {meters}")
+                    for k, v in m.items():
+                        writer.add_scalar(k, v, it)
+            if it % checkpoint_period == 0:
+                checkpointer.save("model_last", {"params": jax.device_get(state.params),
+                                                 "iteration": it})
+        params_final = jax.device_get(state.params)
+    checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
+    checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
+    logger.info(f"incremental training done in {time.time() - t0:.1f}s")
+    return params_final
+
+
+# --------------------------------------------------------------- eval
+def run_test(cfg, params=None, logger=None, max_images=None):
+    """VOC evaluation (tools/train_incremental.py:252-314): runs the
+    compiled eval step over DATASETS.TEST, maps detections back to
+    original coordinates, computes mAP, appends per-class APs to
+    output/{TASK}.txt."""
+    logger = logger or setup_logger("abr_iod_tpu.test", cfg.OUTPUT_DIR)
+    model = build_detection_model(cfg)
+    if params is None:
+        # prefer the just-trained checkpoint in OUTPUT_DIR (the reference's
+        # Checkpointer.load does the same via the last_checkpoint pointer,
+        # utils/checkpoint.py:54-58)
+        ck = Checkpointer(cfg.OUTPUT_DIR)
+        last = ck.last_checkpoint_path()
+        params = load_params(cfg, model, logger, weight_path=last)
+
+    canvas = tuple(cfg.TPU.CANVAS_TEST)
+    eval_step, _ = make_eval_step(model, cfg, canvas)
+    source = make_data_source(cfg, cfg.DATASETS.TEST[0], "test_all")
+    loader = DetectionLoader(
+        source, cfg, batch_size=int(cfg.TEST.IMS_PER_BATCH), is_train=False,
+        canvas=canvas, flip=False,
+    )
+
+    predictions, ground_truths = [], []
+    n_done = 0
+    t0 = time.time()
+    for batch, records, n_valid in loader.eval_batches():
+        dets = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        labels = np.asarray(dets.labels)
+        valid = np.asarray(dets.valid)
+        for i in range(n_valid):
+            rec = records[i]
+            nh, nw = batch.sizes[i]
+            sx = rec["width"] / float(nw)
+            sy = rec["height"] / float(nh)
+            v = valid[i]
+            b = boxes[i][v] * np.array([sx, sy, sx, sy])
+            predictions.append(
+                {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
+            )
+            ground_truths.append(
+                {"boxes": rec["boxes"], "labels": rec["labels"],
+                 "difficult": rec["difficult"]}
+            )
+        n_done += n_valid
+        if max_images and n_done >= max_images:
+            break
+    result = eval_detection_voc(predictions, ground_truths)
+    dt = time.time() - t0
+    logger.info(
+        f"eval: {n_done} images in {dt:.1f}s ({dt / max(n_done,1):.3f} s/img), "
+        f"mAP={result['map']:.4f}"
+    )
+    per_class = {
+        VOC_CLASSES[l - 1]: float(result["ap"][l])
+        for l in range(1, len(result["ap"]))
+        if not np.isnan(result["ap"][l])
+    }
+    logger.info("per-class AP: " + ", ".join(f"{k}={v:.3f}" for k, v in per_class.items()))
+
+    task = cfg.get("TASK", None)
+    if task:
+        os.makedirs("output", exist_ok=True)
+        with open(os.path.join("output", f"{task}.txt"), "a") as fid:
+            fid.write(str(cfg.get("NAME", "EXP")))
+            fid.write(",")
+            fid.write(str(cfg.get("STEP", 0)))
+            fid.write(",")
+            fid.write(",".join(str(x) for x in result["ap"][1:]))
+            fid.write("\n")
+    return result

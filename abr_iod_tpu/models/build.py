@@ -1,0 +1,32 @@
+"""Config → model construction (reference: modeling/detector/detectors.py
+build_detection_model; only GeneralizedRCNN is registered there)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .detector import FasterRCNN
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def build_detection_model(cfg) -> FasterRCNN:
+    if cfg.MODEL.META_ARCHITECTURE != "GeneralizedRCNN":
+        raise ValueError(
+            f"unknown META_ARCHITECTURE {cfg.MODEL.META_ARCHITECTURE!r}"
+        )
+    num_anchors = len(tuple(cfg.MODEL.RPN.ANCHOR_SIZES)) * len(
+        tuple(cfg.MODEL.RPN.ASPECT_RATIOS)
+    )
+    return FasterRCNN(
+        num_classes=int(cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES),
+        num_anchors=num_anchors,
+        backbone_stages=tuple(cfg.TPU.BACKBONE_STAGES),
+        width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
+        res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
+        res5_blocks=int(cfg.TPU.RES5_BLOCKS),
+        res5_bottleneck=int(cfg.TPU.RES5_BOTTLENECK),
+        res5_out=int(cfg.TPU.RES5_OUT),
+        dtype=_DTYPES[str(cfg.TPU.COMPUTE_DTYPE)],
+        roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
+    )

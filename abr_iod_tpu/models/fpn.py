@@ -1,0 +1,96 @@
+"""Feature Pyramid Network (reference: modeling/backbone/fpn.py:7-99).
+
+Top-down pathway with lateral 1x1 connections and 3x3 output convs over
+the C2..C5 maps, plus the extra-level blocks:
+  * LastLevelMaxPool  — stride-2 maxpool P6 (Faster/Mask R-CNN FPN)
+  * LastLevelP6P7     — convs on C5 for RetinaNet (fpn.py:80-99)
+
+NHWC; upsampling is nearest-neighbor like the reference's
+F.interpolate(scale_factor=2, mode='nearest').
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    top_block: str = "maxpool"  # 'maxpool' | 'p6p7' | 'none'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        """features: [C2, C3, C4, C5] NHWC → [P2, P3, P4, P5, (P6, P7)]."""
+        n = len(features)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=nn.initializers.kaiming_uniform(),
+                    name=f"fpn_inner{i + 1}")(f)
+            for i, f in enumerate(features)
+        ]
+        outs = [None] * n
+        last = laterals[-1]
+        outs[-1] = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                           dtype=self.dtype,
+                           kernel_init=nn.initializers.kaiming_uniform(),
+                           name=f"fpn_layer{n}")(last)
+        for i in range(n - 2, -1, -1):
+            up = jax.image.resize(
+                last, laterals[i].shape, method="nearest"
+            )
+            last = laterals[i] + up
+            outs[i] = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                              dtype=self.dtype,
+                              kernel_init=nn.initializers.kaiming_uniform(),
+                              name=f"fpn_layer{i + 1}")(last)
+
+        if self.top_block == "maxpool":
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        elif self.top_block == "p6p7":
+            p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)), dtype=self.dtype,
+                         name="p6")(features[-1])
+            p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)), dtype=self.dtype,
+                         name="p7")(nn.relu(p6))
+            outs.extend([p6, p7])
+        return outs
+
+
+def fpn_level_mapper(rois: jnp.ndarray, k_min: int = 2, k_max: int = 5,
+                     canonical_scale: int = 224, canonical_level: int = 4):
+    """FPN level assignment (reference: modeling/poolers.py LevelMapper —
+    Eqn.1 of the FPN paper). rois [R,4] → level index in [0, k_max-k_min]."""
+    from ..structures.boxes import box_area
+
+    s = jnp.sqrt(box_area(rois))
+    lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale + 1e-6))
+    lvl = jnp.clip(lvl, k_min, k_max)
+    return (lvl - k_min).astype(jnp.int32)
+
+
+def fpn_roi_align(features: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                  output_size: int = 7, scales=(0.25, 0.125, 0.0625, 0.03125),
+                  sampling_ratio: int = 2):
+    """Multi-level RoIAlign (reference: modeling/poolers.py Pooler for FPN):
+    pool every RoI from every level, select by level assignment.  The
+    selection is a static 4-way where — TPU-friendlier than per-level
+    dynamic partitions, at 4x pooling cost (levels are cheap: each is
+    4x smaller than the last)."""
+    from ..ops.roi_align import roi_align
+
+    lvl = fpn_level_mapper(rois)
+    pooled = [
+        roi_align(f, rois, output_size=output_size, spatial_scale=s,
+                  sampling_ratio=sampling_ratio)
+        for f, s in zip(features, scales)
+    ]
+    out = pooled[0]
+    for i in range(1, len(pooled)):
+        out = jnp.where((lvl == i)[:, None, None, None], pooled[i], out)
+    return out

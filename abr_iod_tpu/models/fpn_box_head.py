@@ -1,0 +1,56 @@
+"""FPN-style RoI box head: 2-MLP feature extractor + FPN predictor.
+
+Reference: roi_box_feature_extractors.py FPN2MLPFeatureExtractor
+(:58-101 — Pooler(7x7 multi-level) → fc6 → fc7, 1024-d) and
+roi_box_predictors.py FPNPredictor (:35-123 — cls_score +
+bbox_pred(4*C), normal init 0.01/0.001).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .fpn import fpn_roi_align
+
+
+class FPNBoxHead(nn.Module):
+    num_classes: int
+    representation_size: int = 1024
+    pooler_resolution: int = 7
+    pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    pooler_sampling_ratio: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
+        """features: P2..P5 [B,h,w,C]; rois [B,S,4] →
+        (logits [B,S,K], box_reg [B,S,4K], roi_feats [B,S,P,P,C])."""
+        b, s = rois.shape[:2]
+        pool = jax.vmap(
+            lambda fs, r: fpn_roi_align(
+                fs, r, output_size=self.pooler_resolution,
+                scales=self.pooler_scales,
+                sampling_ratio=self.pooler_sampling_ratio,
+            ),
+            in_axes=(0, 0),
+        )(features[: len(self.pooler_scales)], rois)
+        x = pool.reshape(b * s, -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.representation_size, name="fc6", dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.representation_size, name="fc7", dtype=self.dtype)(x))
+        cls_logits = nn.Dense(
+            self.num_classes, kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype, name="cls_score",
+        )(x)
+        box_reg = nn.Dense(
+            self.num_classes * 4, kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype, name="bbox_pred",
+        )(x)
+        return (
+            cls_logits.reshape(b, s, -1).astype(jnp.float32),
+            box_reg.reshape(b, s, -1).astype(jnp.float32),
+            pool,
+        )

@@ -70,7 +70,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         in_channels = x.shape[-1]
         residual = x
-        if in_channels != self.out_channels:
+        if in_channels != self.out_channels or self.stride != 1:
             residual = _conv(self.out_channels, 1, self.stride, "downsample_conv", self.dtype)(x)
             residual = FrozenBatchNorm(self.out_channels, self.dtype, name="downsample_bn")(
                 residual

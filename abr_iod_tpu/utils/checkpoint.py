@@ -65,14 +65,23 @@ class Checkpointer:
         with open(p) as f:
             return f.read().strip()
 
-    def load(self, template: Any, path: Optional[str] = None) -> Any:
-        """Restore into the structure of `template` (a dict pytree)."""
+    def load(self, template: Any = None, path: Optional[str] = None) -> Any:
+        """Restore a checkpoint.  With `template` the result mirrors its
+        structure; without, the raw dict-of-arrays is returned (useful
+        for cross-shape head growth via align_and_update_params)."""
         path = path or self.last_checkpoint_path()
         if path is None or not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint at {path!r}")
         with open(path, "rb") as f:
             data = f.read()
+        if template is None:
+            return serialization.msgpack_restore(data)
         return serialization.from_bytes(_tree_to_numpy(template), data)
+
+    @staticmethod
+    def load_file(path: str) -> Any:
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
 
 
 def align_and_update_params(new_params, old_params, log_fn=None):

@@ -1,0 +1,63 @@
+"""Multi-host communication helpers.
+
+Reference: maskrcnn_benchmark/utils/comm.py — rank/world/synchronize/
+all_gather/reduce_dict over torch.distributed+NCCL.  The JAX-native
+equivalents: process index/count come from the runtime, in-step
+reductions are psum/pmean inside jit (free, fused — subsuming
+reduce_loss_dict), and host-level gathers use multihost_utils.  The
+reference's eval gather was disabled (engine/inference.py:136-137);
+``all_gather_objects`` restores that capability for multi-host eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return get_rank() == 0
+
+
+def synchronize() -> None:
+    """Barrier across hosts (no-op single-process, like the reference)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("abr_iod_tpu.synchronize")
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather an arbitrary picklable object from every host (reference
+    utils/comm.py:48-88 pickled all_gather)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj, tiled=False))
+
+
+def reduce_dict(d: Dict[str, jnp.ndarray], average: bool = True) -> Dict[str, float]:
+    """Cross-host mean of scalar metrics (reference utils/comm.py:91-117).
+
+    Inside a jit step metrics are already global (XLA reduces over the
+    mesh), so this is only needed for host-side python scalars."""
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in d.items()}
+    gathered = all_gather_objects({k: float(v) for k, v in d.items()})
+    out = {}
+    for k in d:
+        vals = [g[k] for g in gathered]
+        out[k] = sum(vals) / len(vals) if average else sum(vals)
+    return out

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark: ABR incremental training throughput (images/sec/chip).
+
+Measures the flagship recipe — VOC 15-5 ABR incremental step (frozen
+R-50-C4 teacher + R-50-C4 student, inclusive distillation + ARD, on-
+device mixup/mosaic fusion) — as one fused jit step at the reference
+input resolution (800/1333 → 832x1344 canvas), on whatever accelerator
+jax exposes.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline anchors against the reference's GPU recipe throughput.  The
+reference repo records no numbers (BASELINE.md); the anchor below is the
+standard maskrcnn-benchmark R-50-C4 training rate on the 2-GPU batch-4
+recipe (~0.4 s/it → ~10 img/s total → ~5 images/sec/GPU), which is the
+deployment the shipped configs/scripts describe (scripts/run_SI.sh,
+configs/voc/15-5/*.yaml).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from abr_iod_tpu.utils.platform import respect_jax_platforms_env  # noqa: E402
+
+respect_jax_platforms_env()
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 5.0
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from abr_iod_tpu.config import get_default_config, VOC_CLASSES
+    from abr_iod_tpu.data.abr_fusion import CropBank, make_abr_batch_fn
+    from abr_iod_tpu.engine import TrainState
+    from abr_iod_tpu.engine.incremental import make_incremental_train_step
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from abr_iod_tpu.solver.optim import make_optimizer
+
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    canvas = (832, 1344)
+
+    n_devices = len(jax.devices())
+    batch = batch_per_chip * n_devices
+
+    cfg = get_default_config()
+    cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = VOC_CLASSES[:15]
+    cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = VOC_CLASSES[15:]
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
+    cfg.DIST.TYPE = "id"
+    cfg.DIST.ALPHA = 0.5
+    cfg.DIST.BETA = 1.0
+    cfg.DIST.GAMMA = 1.0
+    cfg.DIST.FEAT = "ard"
+    cfg.SOLVER.IMS_PER_BATCH = batch
+    cfg.TPU.CANVAS_TRAIN = canvas
+    cfg.MEM_BUFF = 2000
+    cfg.MEM_TYPE = "mean"
+
+    cfg_teacher = cfg.clone()
+    cfg_teacher.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 16
+
+    rng = np.random.RandomState(0)
+    mesh = make_mesh()
+
+    model_teacher = build_detection_model(cfg_teacher)
+    model_student = build_detection_model(cfg)
+
+    def init(model, n_cls):
+        px = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
+        rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 64.0, 64.0])
+        return model.init(jax.random.PRNGKey(0), px, rois)
+
+    teacher_params = init(model_teacher, 16)
+    student_params = init(model_student, 21)
+
+    tx = make_optimizer(cfg, student_params)
+
+    # synthetic raw batch + crop bank (host-load excluded: the loader is a
+    # background thread; this measures the device step, which is the
+    # binding resource on TPU)
+    max_gt = int(cfg.TPU.MAX_GT)
+    pixels = rng.uniform(0, 255, (batch, canvas[0], canvas[1], 3)).astype(np.float32)
+    sizes = np.tile(np.array([[800, 1333]], np.int32), (batch, 1))
+    orig_sizes = np.tile(np.array([[375, 500]], np.int32), (batch, 1))
+    gt_boxes = np.zeros((batch, max_gt, 4), np.float32)
+    gt_labels = np.zeros((batch, max_gt), np.int32)
+    gt_mask = np.zeros((batch, max_gt), bool)
+    for i in range(batch):
+        for j in range(6):
+            x1 = rng.uniform(0, 900)
+            y1 = rng.uniform(0, 500)
+            gt_boxes[i, j] = [x1, y1, x1 + rng.uniform(60, 300), y1 + rng.uniform(60, 250)]
+            gt_labels[i, j] = rng.randint(16, 21)
+            gt_mask[i, j] = True
+
+    bank_hw = tuple(cfg.TPU.CROP_BANK_HW)
+    n_bank = 256
+    bank = CropBank(
+        pixels=jnp.asarray(rng.uniform(0, 255, (n_bank, *bank_hw, 3)).astype(np.float32)),
+        content_hw=jnp.asarray(np.tile(np.array(bank_hw, np.float32), (n_bank, 1))),
+        orig_hw=jnp.asarray(rng.uniform(72, 260, (n_bank, 2)).astype(np.float32)),
+        labels=jnp.asarray(rng.randint(1, 16, n_bank).astype(np.int32)),
+    )
+    fuse = make_abr_batch_fn(cfg, bank)
+
+    with jax.sharding.set_mesh(mesh):
+        teacher_params = shard_params(mesh, teacher_params)
+        student_params = shard_params(mesh, student_params)
+        state = TrainState(student_params, tx.init(student_params),
+                           jnp.zeros((), jnp.int32))
+        step_fn, _ = make_incremental_train_step(
+            model_teacher, model_student, tx, cfg, canvas, n_old_classes=15
+        )
+
+        raw = shard_batch(
+            mesh,
+            (jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(orig_sizes),
+             jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_mask)),
+        )
+
+        def one_iter(state, seed):
+            b = fuse(*raw, jax.random.PRNGKey(seed))
+            return step_fn(state, teacher_params, b)
+
+        for i in range(warmup):
+            state, metrics = one_iter(state, i)
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = one_iter(state, warmup + i)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    per_chip = img_per_sec / n_devices
+    print(
+        json.dumps(
+            {
+                "metric": "voc15-5_abr_incremental_train_throughput",
+                "value": round(per_chip, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+                "detail": {
+                    "devices": n_devices,
+                    "batch_per_chip": batch_per_chip,
+                    "s_per_iter": round(dt / iters, 4),
+                    "canvas": list(canvas),
+                    "loss": float(metrics["loss"]),
+                    "baseline_anchor_img_s_chip": REFERENCE_IMG_PER_SEC_PER_CHIP,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
