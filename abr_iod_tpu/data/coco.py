@@ -1,0 +1,116 @@
+"""COCO incremental dataset (reference: data/datasets/coco.py).
+
+Pure-json implementation (no pycocotools / torchvision dependency) with
+the reference's class-incremental semantics:
+  * categories are re-indexed ALPHABETICALLY to contiguous 1..80
+    (coco.py:34-43, convert_cats_from_original_order_to_alphabetical_
+    order:81-90) so "first K classes" splits are stable
+  * the old/new split is over the ORIGINAL coco-id order
+    (dict_slice over coco_ids_to_cats, coco.py:120-185):
+    train keeps images/annotations containing new categories only,
+    test keeps old+new
+  * images without valid annotations are dropped (has_valid_annotation,
+    coco.py:104-117); crowd annotations are filtered
+
+Same record interface as VOCDataSource so the loader/driver work
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+# alphabetical contiguous labels 1..80 (reference COCO_CATS order)
+COCO_CATS = (
+    "airplane", "apple", "backpack", "banana", "baseball bat", "baseball glove",
+    "bear", "bed", "bench", "bicycle", "bird", "boat", "book", "bottle", "bowl",
+    "broccoli", "bus", "cake", "car", "carrot", "cat", "cell phone", "chair",
+    "clock", "couch", "cow", "cup", "dining table", "dog", "donut", "elephant",
+    "fire hydrant", "fork", "frisbee", "giraffe", "hair drier", "handbag",
+    "horse", "hot dog", "keyboard", "kite", "knife", "laptop", "microwave",
+    "motorcycle", "mouse", "orange", "oven", "parking meter", "person", "pizza",
+    "potted plant", "refrigerator", "remote", "sandwich", "scissors", "sheep",
+    "sink", "skateboard", "skis", "snowboard", "spoon", "sports ball",
+    "stop sign", "suitcase", "surfboard", "teddy bear", "tennis racket", "tie",
+    "toaster", "toilet", "toothbrush", "traffic light", "train", "truck", "tv",
+    "umbrella", "vase", "wine glass", "zebra",
+)
+CAT_TO_ALPHA_LABEL = {c: i + 1 for i, c in enumerate(COCO_CATS)}
+
+
+class COCODataSource:
+    def __init__(
+        self,
+        ann_file: str,
+        img_root: str,
+        is_train: bool = True,
+        num_old_categories: int = 70,
+        num_new_categories: int = 10,
+    ):
+        self.img_root = img_root
+        self.is_train = is_train
+        with open(ann_file) as f:
+            data = json.load(f)
+
+        # original coco id order (ascending id), as coco_ids_to_cats iterates
+        cats_by_id = sorted(
+            ((c["id"], c["name"]) for c in data["categories"]), key=lambda x: x[0]
+        )
+        id_order = [cid for cid, _ in cats_by_id]
+        self.id_to_name = dict(cats_by_id)
+
+        new_ids = set(id_order[num_old_categories : num_old_categories + num_new_categories])
+        seen_ids = set(id_order[: num_old_categories + num_new_categories])
+        self.included_ids = new_ids if is_train else seen_ids
+
+        self.images: Dict[int, dict] = {im["id"]: im for im in data["images"]}
+        anns_by_img: Dict[int, List[dict]] = {}
+        for a in data["annotations"]:
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        self.ids: List[int] = []
+        self._filtered: Dict[int, List[dict]] = {}
+        for img_id in sorted(self.images.keys()):
+            anno = [a for a in anns_by_img.get(img_id, []) if not a.get("iscrowd", 0)]
+            if not anno:
+                continue
+            # drop all-degenerate-box images (has_valid_annotation)
+            if all(any(o <= 1 for o in a["bbox"][2:]) for a in anno):
+                continue
+            kept = [a for a in anno if a["category_id"] in self.included_ids]
+            if not kept:
+                continue
+            self.ids.append(img_id)
+            self._filtered[img_id] = kept
+
+    def __len__(self):
+        return len(self.ids)
+
+    def image_path(self, index: int) -> str:
+        return os.path.join(self.img_root, self.images[self.ids[index]]["file_name"])
+
+    def annotation(self, index: int) -> Dict:
+        img_id = self.ids[index]
+        info = self.images[img_id]
+        boxes, labels = [], []
+        for a in self._filtered[img_id]:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])  # xywh → xyxy
+            labels.append(CAT_TO_ALPHA_LABEL[self.id_to_name[a["category_id"]]])
+        return {
+            "img_id": str(img_id),
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int32),
+            "difficult": np.zeros(len(labels), bool),
+            "height": int(info["height"]),
+            "width": int(info["width"]),
+        }
+
+    def load_image(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        return np.asarray(Image.open(self.image_path(index)).convert("RGB"))

@@ -67,8 +67,11 @@ def init_params(cfg, model, seed: Optional[int] = None):
     canvas = tuple(cfg.TPU.CANVAS_TRAIN)
     pixels = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
     rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 32.0, 32.0])
-    return model.init(jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED)),
-                      pixels, rois)
+    # jit the init: eager init dispatches hundreds of ops one-by-one,
+    # which is pathologically slow through remote-dispatch TPU tunnels
+    return jax.jit(model.init)(
+        jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED)), pixels, rois
+    )
 
 
 def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):

@@ -1,0 +1,100 @@
+"""Segmentation mask utilities on fixed-shape arrays.
+
+Replaces the reference's SegmentationMask / PolygonInstance zoo
+(structures/segmentation_mask.py:33-545) with two representations:
+  * host side: polygon lists rasterized to binary numpy masks
+  * device side: padded binary masks [M, mh, mw] + validity
+
+``crop_and_resize_masks`` reproduces project_masks_on_boxes semantics
+(roi_heads/mask_head/loss.py:11-42): crop each gt mask to its matched
+proposal box and resize to the discretization size — here as a
+jit-compatible bilinear resample.  ``paste_masks_in_image`` is the
+Masker paste-back (mask_head/inference.py:12-200, threshold 0.5).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def polygons_to_mask(polygons: Sequence[Sequence[float]], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO-style polygon lists to a binary mask (host side)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polygons:
+        pts = [(poly[i], poly[i + 1]) for i in range(0, len(poly) - 1, 2)]
+        if len(pts) >= 3:
+            draw.polygon(pts, outline=1, fill=1)
+    return np.asarray(img, dtype=bool)
+
+
+def crop_and_resize_masks(masks, boxes, out_size: int):
+    """masks [N, H, W] (bool/float), boxes [N, 4] xyxy → [N, M, M] float
+    in [0,1] — project_masks_on_boxes equivalent, device-compatible."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(mask, box):
+        h, w = mask.shape
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh = jnp.maximum(y2 - y1, 1.0)
+        # sample an out_size x out_size grid inside the box (align corners)
+        ys = y1 + (jnp.arange(out_size) + 0.5) / out_size * bh
+        xs = x1 + (jnp.arange(out_size) + 0.5) / out_size * bw
+        y0 = jnp.clip(jnp.floor(ys - 0.5), 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs - 0.5), 0, w - 1)
+        fy = jnp.clip(ys - 0.5 - y0, 0.0, 1.0)
+        fx = jnp.clip(xs - 0.5 - x0, 0.0, 1.0)
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        m = mask.astype(jnp.float32)
+        v00 = m[y0[:, None], x0[None, :]]
+        v01 = m[y0[:, None], x1i[None, :]]
+        v10 = m[y1i[:, None], x0[None, :]]
+        v11 = m[y1i[:, None], x1i[None, :]]
+        top = v00 * (1 - fx)[None, :] + v01 * fx[None, :]
+        bot = v10 * (1 - fx)[None, :] + v11 * fx[None, :]
+        return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+    return jax.vmap(one)(masks, boxes)
+
+
+def paste_masks_in_image(mask_probs: np.ndarray, boxes: np.ndarray,
+                         image_hw: Tuple[int, int], threshold: float = 0.5,
+                         padding: int = 1) -> np.ndarray:
+    """Masker equivalent (host side): paste [N, M, M] probabilities into
+    binary image masks [N, H, W] (mask_head/inference.py:12-90)."""
+    from PIL import Image
+
+    n, m, _ = mask_probs.shape
+    h, w = image_hw
+    out = np.zeros((n, h, w), dtype=bool)
+    # zero-pad then rescale like the reference (expand_masks semantics)
+    scale = (m + 2.0 * padding) / m
+    for i in range(n):
+        padded = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
+        padded[padding:-padding or None, padding:-padding or None] = mask_probs[i]
+        x1, y1, x2, y2 = boxes[i]
+        cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+        bw2, bh2 = (x2 - x1) * 0.5 * scale, (y2 - y1) * 0.5 * scale
+        ex1, ey1, ex2, ey2 = cx - bw2, cy - bh2, cx + bw2, cy + bh2
+        tw = max(int(round(ex2 - ex1 + 1)), 1)
+        th = max(int(round(ey2 - ey1 + 1)), 1)
+        resized = np.asarray(
+            Image.fromarray(padded).resize((tw, th), Image.BILINEAR)
+        )
+        bin_mask = resized > threshold
+        dx1, dy1 = max(int(ex1), 0), max(int(ey1), 0)
+        dx2, dy2 = min(int(ex2) + 1, w), min(int(ey2) + 1, h)
+        if dx2 > dx1 and dy2 > dy1:
+            out[i, dy1:dy2, dx1:dx2] = bin_mask[
+                dy1 - int(ey1) : dy2 - int(ey1), dx1 - int(ex1) : dx2 - int(ex1)
+            ]
+    return out

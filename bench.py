@@ -80,7 +80,7 @@ def main():
     def init(model, n_cls):
         px = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
         rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 64.0, 64.0])
-        return model.init(jax.random.PRNGKey(0), px, rois)
+        return jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
 
     teacher_params = init(model_teacher, 16)
     student_params = init(model_student, 21)
