@@ -83,9 +83,34 @@ def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
         if logger:
             logger.info("no MODEL.WEIGHT — training from random init")
         return fresh
+    log_fn = logger.info if logger else None
+
+    if path.startswith("catalog://"):
+        # the reference resolves catalog:// → Detectron S3 download
+        # (utils/checkpoint.py:120-142); zero-egress here, so look for a
+        # local copy (R-50.pkl / resnet50.pth) under ABR_IOD_WEIGHTS_DIR
+        wdir = os.environ.get("ABR_IOD_WEIGHTS_DIR", "weights")
+        for cand in ("R-50.pkl", "resnet50.pth", "resnet50.pt"):
+            local = os.path.join(wdir, cand)
+            if os.path.exists(local):
+                path = local
+                break
+        else:
+            if logger:
+                logger.warning(
+                    f"{path}: no local pretrained file under {wdir!r} — "
+                    "falling back to random init"
+                )
+            return fresh
+
+    if path.endswith((".pkl", ".pth", ".pt")):
+        from .. utils.weight_converter import load_pretrained_backbone
+
+        tree = load_pretrained_backbone(path)
+        return align_and_update_params(fresh, {"params": tree}, log_fn=log_fn)
+
     payload = Checkpointer.load_file(path)
     old = payload["params"] if "params" in payload else payload
-    log_fn = logger.info if logger else None
     return align_and_update_params(fresh, old, log_fn=log_fn)
 
 

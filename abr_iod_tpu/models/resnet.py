@@ -32,10 +32,11 @@ class FrozenBatchNorm(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    weight_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        weight = self.param("weight", self.weight_init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         running_mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         running_var = self.param("running_var", nn.initializers.ones, (self.features,))
@@ -82,7 +83,14 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = _conv(self.out_channels, 1, 1, "conv3", self.dtype)(out)
-        out = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(out)
+        # zero-init the residual branch's last BN scale: keeps random-init
+        # activations bounded through 50 frozen-BN layers (pretrained
+        # weights overwrite this; the reference always loads ImageNet
+        # weights so it never needed the guard)
+        out = FrozenBatchNorm(
+            self.out_channels, self.dtype, weight_init=nn.initializers.zeros,
+            name="bn3",
+        )(out)
         return nn.relu(out + residual)
 
 

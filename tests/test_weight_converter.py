@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from abr_iod_tpu.models import FasterRCNN
+from abr_iod_tpu.utils.checkpoint import align_and_update_params
+from abr_iod_tpu.utils.weight_converter import (
+    convert_caffe2_resnet50,
+    convert_torchvision_resnet50,
+)
+
+R50_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}
+CH = {1: (64, 64, 256), 2: (256, 128, 512), 3: (512, 256, 1024), 4: (1024, 512, 2048)}
+
+
+def _fake_torchvision_sd(rng):
+    sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{s}"] = rng.randn(64).astype(np.float32)
+    for layer, nb in R50_BLOCKS.items():
+        cin, mid, cout = CH[layer]
+        for b in range(nb):
+            in_ch = cin if b == 0 else cout
+            shapes = [(mid, in_ch, 1, 1), (mid, mid, 3, 3), (cout, mid, 1, 1)]
+            for ci, shp in enumerate(shapes, 1):
+                sd[f"layer{layer}.{b}.conv{ci}.weight"] = rng.randn(*shp).astype(np.float32)
+                n = shp[0]
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"layer{layer}.{b}.bn{ci}.{s}"] = rng.randn(n).astype(np.float32)
+            if b == 0:
+                sd[f"layer{layer}.0.downsample.0.weight"] = rng.randn(
+                    cout, in_ch, 1, 1
+                ).astype(np.float32)
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"layer{layer}.0.downsample.1.{s}"] = rng.randn(cout).astype(
+                        np.float32
+                    )
+    return sd
+
+
+def test_torchvision_conversion_aligns_with_model(rng):
+    sd = _fake_torchvision_sd(rng)
+    tree = convert_torchvision_resnet50(sd)
+    # kernel layout converted to HWIO
+    k = tree["backbone"]["stem"]["conv1"]["kernel"]
+    assert k.shape == (7, 7, 3, 64)
+    np.testing.assert_array_equal(k[0, 0, 0], sd["conv1.weight"][:, 0, 0, 0])
+
+    model = FasterRCNN(num_classes=21)
+    pixels = jnp.zeros((1, 64, 96, 3))
+    rois = jnp.zeros((1, 2, 4)) + jnp.asarray([0.0, 0.0, 30.0, 30.0])
+    fresh = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, rois)
+
+    merged = align_and_update_params(fresh, {"params": tree})
+    got = merged["params"]["backbone"]["layer2"]["block1"]["conv2"]["kernel"]
+    expect = np.transpose(sd["layer2.1.conv2.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    # res5 lands in the roi head
+    got5 = merged["params"]["roi_heads"]["res5"]["layer4"]["block0"]["conv1"]["kernel"]
+    expect5 = np.transpose(sd["layer4.0.conv1.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(got5), expect5)
+
+
+def test_caffe2_conversion(rng):
+    blobs = {"conv1_w": rng.randn(64, 3, 7, 7).astype(np.float32),
+             "res_conv1_bn_s": rng.randn(64).astype(np.float32),
+             "res_conv1_bn_b": rng.randn(64).astype(np.float32)}
+    for res_idx, nb in {2: 3, 3: 4, 4: 6, 5: 3}.items():
+        cin, mid, cout = CH[res_idx - 1]
+        for b in range(nb):
+            in_ch = cin if b == 0 else cout
+            for br, shp in (("a", (mid, in_ch, 1, 1)), ("b", (mid, mid, 3, 3)),
+                            ("c", (cout, mid, 1, 1))):
+                blobs[f"res{res_idx}_{b}_branch2{br}_w"] = rng.randn(*shp).astype(np.float32)
+                blobs[f"res{res_idx}_{b}_branch2{br}_bn_s"] = rng.randn(shp[0]).astype(np.float32)
+                blobs[f"res{res_idx}_{b}_branch2{br}_bn_b"] = rng.randn(shp[0]).astype(np.float32)
+            if b == 0:
+                blobs[f"res{res_idx}_0_branch1_w"] = rng.randn(cout, in_ch, 1, 1).astype(np.float32)
+                blobs[f"res{res_idx}_0_branch1_bn_s"] = rng.randn(cout).astype(np.float32)
+                blobs[f"res{res_idx}_0_branch1_bn_b"] = rng.randn(cout).astype(np.float32)
+
+    tree = convert_caffe2_resnet50(blobs)
+    bn = tree["backbone"]["layer1"]["block0"]["bn2"]
+    np.testing.assert_array_equal(bn["weight"], blobs["res2_0_branch2b_bn_s"])
+    np.testing.assert_array_equal(bn["running_mean"], np.zeros(64, np.float32))
+    np.testing.assert_array_equal(bn["running_var"], np.ones(64, np.float32))
+    assert tree["roi_heads"]["res5"]["layer4"]["block0"]["conv1"]["kernel"].shape == (
+        1, 1, 1024, 512,
+    )
