@@ -128,6 +128,30 @@ def _mesh_from_cfg(cfg, batch_size: Optional[int] = None):
     return make_mesh(n_data, n_model)
 
 
+
+def _restore_or_init_state(checkpointer, tx, params, logger):
+    """Implicit resume from the last_checkpoint pointer (reference
+    utils/checkpoint.py:54-95 + engine/trainer.py:57-58): restores
+    params, optimizer state and iteration when a resumable checkpoint
+    exists in OUTPUT_DIR."""
+    opt_state = tx.init(params)
+    start_iter = 0
+    if checkpointer.has_checkpoint():
+        try:
+            payload = checkpointer.load(
+                {"params": params, "opt_state": opt_state, "iteration": 0}
+            )
+            params = payload["params"]
+            opt_state = payload["opt_state"]
+            start_iter = int(payload["iteration"])
+            if logger:
+                logger.info(f"resumed from iteration {start_iter}")
+        except Exception as e:  # params-only checkpoint (e.g. trimmed)
+            if logger:
+                logger.info(f"no resumable optimizer state ({e}); fresh start")
+    return TrainState(params, opt_state, jnp.asarray(start_iter, jnp.int32)), start_iter
+
+
 # --------------------------------------------------------------- training
 def run_first_task_training(cfg, logger=None, max_iter_override=None):
     """First-task / joint training (tools/train_first_step.py:35-116)."""
@@ -151,13 +175,16 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
 
     with jax.sharding.set_mesh(mesh):
         params = shard_params(mesh, params)
-        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        state, start_iter = _restore_or_init_state(checkpointer, tx, params, logger)
         train_step, _ = make_train_step(model, tx, cfg, canvas)
 
         meters = MetricLogger()
         t0 = time.time()
         last = t0
-        for it, batch in enumerate(loader.prefetched(max_batches=max_iter), 1):
+        loader.start_iter = start_iter
+        remaining = max(max_iter - start_iter, 0)
+        for it, batch in enumerate(loader.prefetched(max_batches=remaining),
+                                   start_iter + 1):
             state, metrics = train_step(state, shard_batch(mesh, batch))
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -169,8 +196,12 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
                     for k, v in m.items():
                         writer.add_scalar(k, v, it)
             if it % checkpoint_period == 0:
-                checkpointer.save("model_last", {"params": jax.device_get(state.params),
-                                                 "iteration": it})
+                checkpointer.save(
+                    "model_last",
+                    {"params": jax.device_get(state.params),
+                     "opt_state": jax.device_get(state.opt_state),
+                     "iteration": it},
+                )
         params_final = jax.device_get(state.params)
     checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
@@ -232,14 +263,17 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
     with jax.sharding.set_mesh(mesh):
         teacher_params = shard_params(mesh, teacher_params)
         student_params = shard_params(mesh, student_params)
-        state = TrainState(student_params, tx.init(student_params),
-                           jnp.zeros((), jnp.int32))
+        state, start_iter = _restore_or_init_state(
+            checkpointer, tx, student_params, logger
+        )
         step_fn, _ = make_incremental_train_step(
             model_teacher, model_student, tx, cfg_target, canvas, n_old
         )
         meters = MetricLogger()
         t0 = time.time()
-        for it, batch in enumerate(batches, 1):
+        for it, batch in enumerate(batches, start_iter + 1):
+            if it > max_iter:
+                break
             state, metrics = step_fn(state, teacher_params, shard_batch(mesh, batch))
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -249,8 +283,12 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                     for k, v in m.items():
                         writer.add_scalar(k, v, it)
             if it % checkpoint_period == 0:
-                checkpointer.save("model_last", {"params": jax.device_get(state.params),
-                                                 "iteration": it})
+                checkpointer.save(
+                    "model_last",
+                    {"params": jax.device_get(state.params),
+                     "opt_state": jax.device_get(state.opt_state),
+                     "iteration": it},
+                )
         params_final = jax.device_get(state.params)
     checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)

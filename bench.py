@@ -38,6 +38,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the first bench invocation pays the
+    # (multi-minute) XLA compile of the fused teacher+student step; later
+    # invocations hit the cache and finish in seconds
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     from abr_iod_tpu.config import get_default_config, VOC_CLASSES
     from abr_iod_tpu.data.abr_fusion import CropBank, make_abr_batch_fn
     from abr_iod_tpu.engine import TrainState
