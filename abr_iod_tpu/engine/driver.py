@@ -129,6 +129,35 @@ def _mesh_from_cfg(cfg, batch_size: Optional[int] = None):
 
 
 
+
+def _maybe_profile(it: int, logger):
+    """jax.profiler trace hook (reference kept a commented-out
+    torch.profiler block, engine/trainer.py:63-71 — here it's a real
+    switch): set ABR_IOD_PROFILE=<dir> to capture iterations 10-12."""
+    prof_dir = os.environ.get("ABR_IOD_PROFILE")
+    if not prof_dir:
+        return
+    if it == 10:
+        jax.profiler.start_trace(prof_dir)
+        if logger:
+            logger.info(f"profiler trace started → {prof_dir}")
+    elif it == 13:
+        jax.profiler.stop_trace()
+        if logger:
+            logger.info("profiler trace stopped")
+
+
+def _log_memory(logger):
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and logger:
+            used = stats.get("bytes_in_use", 0) / 1e6
+            peak = stats.get("peak_bytes_in_use", 0) / 1e6
+            logger.info(f"device memory: {used:.0f}MB in use, {peak:.0f}MB peak")
+    except Exception:
+        pass
+
+
 def _restore_or_init_state(checkpointer, tx, params, logger):
     """Implicit resume from the last_checkpoint pointer (reference
     utils/checkpoint.py:54-95 + engine/trainer.py:57-58): restores
@@ -186,6 +215,7 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
         for it, batch in enumerate(loader.prefetched(max_batches=remaining),
                                    start_iter + 1):
             state, metrics = train_step(state, shard_batch(mesh, batch))
+            _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
@@ -203,6 +233,7 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
                      "iteration": it},
                 )
         params_final = jax.device_get(state.params)
+        _log_memory(logger)
     checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
     logger.info(f"training done in {time.time() - t0:.1f}s")
@@ -275,6 +306,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
             if it > max_iter:
                 break
             state, metrics = step_fn(state, teacher_params, shard_batch(mesh, batch))
+            _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 meters.update(**m)

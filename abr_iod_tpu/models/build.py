@@ -21,6 +21,8 @@ def build_detection_model(cfg) -> FasterRCNN:
     return FasterRCNN(
         num_classes=int(cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES),
         num_anchors=num_anchors,
+        mask_on=bool(cfg.MODEL.MASK_ON),
+        keypoint_on=bool(cfg.MODEL.KEYPOINT_ON),
         backbone_stages=tuple(cfg.TPU.BACKBONE_STAGES),
         width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
         res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),

@@ -25,11 +25,15 @@ import jax.numpy as jnp
 from .resnet import ResNetC4
 from .rpn import RPNHead
 from .box_head import RoiBoxHead
+from .mask_head import MaskRCNNC4Predictor
+from .keypoint_head import KeypointRCNNPredictor
 
 
 class FasterRCNN(nn.Module):
     num_classes: int  # includes background (VOC 15-5 first task: 16)
     num_anchors: int = 15
+    mask_on: bool = False  # Mask R-CNN variant (reference MODEL.MASK_ON)
+    keypoint_on: bool = False  # Keypoint R-CNN variant
     # backbone/head size knobs (defaults = R-50-C4; shrink for unit tests)
     backbone_stages: tuple = (3, 4, 6)
     width_per_group: int = 64
@@ -60,6 +64,14 @@ class FasterRCNN(nn.Module):
             roi_align_precision=self.roi_align_precision,
             name="roi_heads",
         )
+        if self.mask_on:
+            self.mask_predictor = MaskRCNNC4Predictor(
+                num_classes=self.num_classes, dtype=self.dtype, name="mask_head"
+            )
+        if self.keypoint_on:
+            self.keypoint_predictor = KeypointRCNNPredictor(
+                dtype=self.dtype, name="keypoint_head"
+            )
 
     def backbone(self, pixels):
         return self.backbone_net(pixels)
@@ -70,12 +82,35 @@ class FasterRCNN(nn.Module):
     def roi_heads(self, features, rois):
         return self.box_head(features, rois)
 
+    def mask_heads(self, features, rois):
+        """Mask branch on the shared pooled RoI features (the C4 Mask
+        R-CNN layout: the res5 RoI features feed the mask predictor,
+        reference roi_heads.py:23-63 + mask_head.py:24-58). Returns mask
+        logits [B, S, 2P, 2P, num_classes]."""
+        if not self.mask_on:
+            raise ValueError("model built without mask_on")
+        _, _, roi_feats, _ = self.box_head(features, rois)
+        b, s = rois.shape[:2]
+        x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+        logits = self.mask_predictor(x)
+        return logits.reshape((b, s) + logits.shape[1:])
+
+    def keypoint_heads(self, features, rois):
+        """Keypoint branch (reference keypoint_head.py:9-50)."""
+        if not self.keypoint_on:
+            raise ValueError("model built without keypoint_on")
+        _, _, roi_feats, _ = self.box_head(features, rois)
+        b, s = rois.shape[:2]
+        x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+        heat = self.keypoint_predictor(x)
+        return heat.reshape((b, s) + heat.shape[1:])
+
     def __call__(self, pixels, rois):
         """Init/inspection path: full forward over given rois."""
         features, backbone_feats = self.backbone_net(pixels)
         objectness, box_deltas = self.rpn_head(features)
         cls_logits, box_reg, roi_feats, head_feats = self.box_head(features, rois)
-        return {
+        out = {
             "features": features,
             "objectness": objectness,
             "rpn_box_deltas": box_deltas,
@@ -83,3 +118,13 @@ class FasterRCNN(nn.Module):
             "box_reg": box_reg,
             "roi_features": roi_feats,
         }
+        b, s = rois.shape[:2]
+        if self.mask_on:
+            x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+            m = self.mask_predictor(x)
+            out["mask_logits"] = m.reshape((b, s) + m.shape[1:])
+        if self.keypoint_on:
+            x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+            k = self.keypoint_predictor(x)
+            out["keypoint_logits"] = k.reshape((b, s) + k.shape[1:])
+        return out

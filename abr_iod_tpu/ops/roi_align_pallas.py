@@ -39,14 +39,13 @@ def _kernel(feat_ref, ay_ref, ax_ref, out_ref):
     tmp = jnp.dot(ay, feat, preferred_element_type=jnp.float32)  # [RB*P, W*CB]
     tmp = tmp.reshape(rb, p, w, cb)
 
-    def per_roi(r, _):
+    # static unroll over the RoI block: Mosaic has no dynamic_slice on
+    # values, and RB is small (8) so unrolling is free
+    for r in range(rb):
         t = tmp[r]  # [P, W, CB]
         t2 = jnp.transpose(t, (1, 0, 2)).reshape(w, p * cb)
         o = jnp.dot(ax_ref[r], t2, preferred_element_type=jnp.float32)  # [q, p*CB]
         out_ref[r] = jnp.transpose(o.reshape(p, p, cb), (1, 0, 2))  # → [p, q, CB]
-        return 0
-
-    jax.lax.fori_loop(0, rb, per_roi, 0)
 
 
 def roi_align_pallas(
