@@ -30,6 +30,7 @@ class RoiBoxHead(nn.Module):
     res5_out: int = 2048
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
+    use_pallas_roi_align: bool = False
 
     @nn.compact
     def __call__(self, features, rois, rois_valid=None):
@@ -37,16 +38,25 @@ class RoiBoxHead(nn.Module):
         box_reg [B,S,4K], roi_feats [B,S,7,7,C], head_feats [B,S,2048])."""
         b, s = rois.shape[:2]
 
-        pool = jax.vmap(
-            lambda f, r: roi_align(
-                f,
-                r,
-                output_size=self.pooler_resolution,
-                spatial_scale=self.pooler_scale,
-                sampling_ratio=self.pooler_sampling_ratio,
-                precision=self.roi_align_precision,
+        if self.use_pallas_roi_align:
+            from ..ops.roi_align_pallas import make_roi_align_fused
+
+            fused = make_roi_align_fused(
+                self.pooler_resolution, self.pooler_scale,
+                self.pooler_sampling_ratio,
             )
-        )(features, rois)
+            pool = jax.vmap(fused)(features, rois)
+        else:
+            pool = jax.vmap(
+                lambda f, r: roi_align(
+                    f,
+                    r,
+                    output_size=self.pooler_resolution,
+                    spatial_scale=self.pooler_scale,
+                    sampling_ratio=self.pooler_sampling_ratio,
+                    precision=self.roi_align_precision,
+                )
+            )(features, rois)
         roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency
 
         x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)

@@ -31,4 +31,5 @@ def build_detection_model(cfg) -> FasterRCNN:
         res5_out=int(cfg.TPU.RES5_OUT),
         dtype=_DTYPES[str(cfg.TPU.COMPUTE_DTYPE)],
         roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
+        use_pallas_roi_align=bool(cfg.TPU.get("USE_PALLAS_ROI_ALIGN", False)),
     )

@@ -43,6 +43,7 @@ class FasterRCNN(nn.Module):
     res5_out: int = 2048
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
+    use_pallas_roi_align: bool = False
 
     def setup(self):
         self.backbone_net = ResNetC4(
@@ -62,6 +63,7 @@ class FasterRCNN(nn.Module):
             res5_out=self.res5_out,
             dtype=self.dtype,
             roi_align_precision=self.roi_align_precision,
+            use_pallas_roi_align=self.use_pallas_roi_align,
             name="roi_heads",
         )
         if self.mask_on:

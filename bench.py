@@ -79,6 +79,8 @@ def main():
     cfg.TPU.CANVAS_TRAIN = canvas
     cfg.MEM_BUFF = 2000
     cfg.MEM_TYPE = "mean"
+    if os.environ.get("BENCH_PALLAS") == "1":
+        cfg.TPU.USE_PALLAS_ROI_ALIGN = True
 
     cfg_teacher = cfg.clone()
     cfg_teacher.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 16
