@@ -44,6 +44,7 @@ class FasterRCNN(nn.Module):
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
     use_pallas_roi_align: bool = False
+    scan_blocks: bool = False
 
     def setup(self):
         self.backbone_net = ResNetC4(
@@ -51,6 +52,7 @@ class FasterRCNN(nn.Module):
             width_per_group=self.width_per_group,
             res2_out_channels=self.res2_out_channels,
             dtype=self.dtype,
+            scan_blocks=self.scan_blocks,
             name="backbone",
         )
         self.rpn_head = RPNHead(

@@ -100,18 +100,59 @@ class Stage(nn.Module):
     out_channels: int
     first_stride: int
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for i in range(self.block_count):
-            x = Bottleneck(
-                self.bottleneck_channels,
-                self.out_channels,
-                stride=self.first_stride if i == 0 else 1,
-                dtype=self.dtype,
-                name=f"block{i}",
-            )(x)
+        if not self.scan_blocks or self.block_count <= 2:
+            for i in range(self.block_count):
+                x = Bottleneck(
+                    self.bottleneck_channels,
+                    self.out_channels,
+                    stride=self.first_stride if i == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"block{i}",
+                )(x)
+            return x
+        # HLO-size optimization: after block0, the remaining blocks are
+        # shape-identical — run them as ONE scanned block with stacked
+        # params.  Cuts compile time for deep stages; numerics identical.
+        # (Param layout differs from the unscanned tree: stacked leaves
+        # under "block_rest"; the weight converter handles both.)
+        x = Bottleneck(
+            self.bottleneck_channels,
+            self.out_channels,
+            stride=self.first_stride,
+            dtype=self.dtype,
+            name="block0",
+        )(x)
+        scanned = nn.scan(
+            _BottleneckScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.block_count - 1,
+        )(
+            bottleneck_channels=self.bottleneck_channels,
+            out_channels=self.out_channels,
+            dtype=self.dtype,
+            name="block_rest",
+        )
+        x, _ = scanned(x, None)
         return x
+
+
+class _BottleneckScanBody(nn.Module):
+    bottleneck_channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = Bottleneck(
+            self.bottleneck_channels, self.out_channels, stride=1,
+            dtype=self.dtype, name="block",
+        )(carry)
+        return y, None
 
 
 class Stem(nn.Module):
@@ -145,6 +186,7 @@ class ResNetC4(nn.Module):
     width_per_group: int = 64
     res2_out_channels: int = 256
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -158,6 +200,7 @@ class ResNetC4(nn.Module):
                 out_channels=self.res2_out_channels * factor,
                 first_stride=1 if idx == 0 else 2,
                 dtype=self.dtype,
+                scan_blocks=self.scan_blocks,
                 name=f"layer{idx + 1}",
             )(x)
             backbone_features.append(x)

@@ -84,6 +84,44 @@ class Checkpointer:
             return serialization.msgpack_restore(f.read())
 
 
+def restack_for_scan(new_tree, old_tree, log_fn=None):
+    """Pre-pass for scan_blocks models: where the new tree has a scanned
+    stage ({block0, block_rest: {block: stacked}}) and the old tree has
+    the unrolled layout (block0..blockN), restack the old blocks so the
+    leading-slice merge applies (models/resnet.py Stage.scan_blocks)."""
+
+    def walk(new, old):
+        if not isinstance(new, dict) or not isinstance(old, dict):
+            return old
+        if "block_rest" in new and "block1" in old:
+            n_rest = 0
+            while f"block{n_rest + 1}" in old:
+                n_rest += 1
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[old[f"block{i}"] for i in range(1, n_rest + 1)],
+            )
+            if log_fn:
+                log_fn(f"restacked {n_rest} blocks into scanned layout")
+            out = {"block0": old.get("block0"), "block_rest": {"block": stacked}}
+            return out
+        if "block1" in new and "block_rest" in old:
+            # scanned checkpoint → unrolled model: unstack
+            stacked = old["block_rest"]["block"]
+            n_rest = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            out = {"block0": old.get("block0")}
+            for i in range(n_rest):
+                out[f"block{i + 1}"] = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[i], stacked
+                )
+            if log_fn:
+                log_fn(f"unstacked scanned layout into {n_rest} blocks")
+            return out
+        return {k: (walk(new[k], v) if k in new else v) for k, v in old.items()}
+
+    return walk(new_tree, old_tree)
+
+
 def align_and_update_params(new_params, old_params, log_fn=None):
     """Copy old params onto a freshly-initialized (possibly larger) tree.
 
@@ -91,8 +129,10 @@ def align_and_update_params(new_params, old_params, log_fn=None):
     value; on mismatch copy the old tensor into the leading slice of the
     new one, keeping the fresh initialization elsewhere — exactly the
     reference's head-growth rule (model_serialization.py:45-55).
-    Leaves only present in the new tree keep their fresh init.
+    Leaves only present in the new tree keep their fresh init.  Scanned
+    (scan_blocks) ↔ unrolled stage layouts are reconciled first.
     """
+    old_params = restack_for_scan(new_params, old_params, log_fn)
 
     def merge(new, old, path=""):
         if isinstance(new, dict):
