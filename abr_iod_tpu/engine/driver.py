@@ -378,6 +378,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         n_done += n_valid
         if max_images and n_done >= max_images:
             break
+    # multi-host eval: gather per-host predictions (the reference's
+    # all_gather was defined but disabled, engine/inference.py:136-137)
+    from ..utils import comm
+
+    if comm.get_world_size() > 1:
+        gathered = comm.all_gather_objects((predictions, ground_truths))
+        predictions = [p for g in gathered for p in g[0]]
+        ground_truths = [g_ for g in gathered for g_ in g[1]]
     result = eval_detection_voc(predictions, ground_truths)
     dt = time.time() - t0
     logger.info(
@@ -390,6 +398,17 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         if not np.isnan(result["ap"][l])
     }
     logger.info("per-class AP: " + ", ".join(f"{k}={v:.3f}" for k, v in per_class.items()))
+
+    # optional regression gate (the reference wires TEST.EXPECTED_RESULTS
+    # only on the COCO path, coco_eval.py:436; here it guards VOC too)
+    expected = tuple(cfg.TEST.EXPECTED_RESULTS or ())
+    if expected:
+        from ..evaluation.coco_eval import check_expected_results
+
+        check_expected_results(
+            {"map": result["map"]}, expected,
+            float(cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL),
+        )
 
     task = cfg.get("TASK", None)
     if task:

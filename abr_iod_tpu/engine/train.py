@@ -123,6 +123,38 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
     return total, metrics, aux
 
 
+def forward_with_external_proposals(model, params, batch: Batch, proposals_boxes,
+                                    proposals_valid, key, cfg,
+                                    dist_type: str = "none", n_old_classes: int = 0):
+    """Training losses with externally-supplied proposals (the reference's
+    EXTERNAL_PROPOSAL / EdgeBoxes path, generalized_rcnn.py:97-119):
+    skips the RPN losses and proposal selection, samples RoIs directly
+    from the given boxes."""
+    features, _ = model.apply(params, batch.pixels, method="backbone")
+    roi_tgts = L.prepare_roi_targets(
+        proposals_boxes, proposals_valid, batch.gt_boxes, batch.gt_labels,
+        batch.gt_mask,
+        fg_iou=float(cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD),
+        bg_iou=float(cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD),
+        bbox_reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+    )
+    rois, rlabels, rtgts, rvalid, _ = L.subsample_rois(
+        roi_tgts, proposals_boxes, key,
+        batch_size_per_image=int(cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE),
+        positive_fraction=float(cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION),
+    )
+    cls_logits, box_reg, _, _ = model.apply(
+        params, features, jax.lax.stop_gradient(rois), method="roi_heads"
+    )
+    cls_loss, box_loss = L.roi_box_loss(
+        cls_logits, box_reg, rlabels, rtgts, rvalid,
+        dist_type=dist_type, n_old_classes=n_old_classes,
+    )
+    total = cls_loss + box_loss
+    return total, {"loss_classifier": cls_loss, "loss_box_reg": box_loss,
+                   "loss": total}
+
+
 def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
     """Build the jitted first-task train step."""
     feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride

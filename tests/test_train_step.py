@@ -125,3 +125,21 @@ def test_eval_step_shapes(rng):
         bx = b[v]
         assert (bx[:, 2] <= CANVAS[1] - 1 + 1e-3).all()
         assert (bx[:, 3] <= CANVAS[0] - 1 + 1e-3).all()
+
+
+def test_external_proposal_training_path(rng):
+    from abr_iod_tpu.engine.train import forward_with_external_proposals
+
+    cfg = tiny_cfg()
+    model = tiny_model()
+    batch = synth_batch(rng, b=2)
+    init_rois = jnp.zeros((2, 4, 4)) + jnp.asarray([0.0, 0.0, 20.0, 20.0])
+    params = model.init(jax.random.PRNGKey(0), batch.pixels, init_rois)
+    # external proposals: the gt boxes plus jitter
+    props = jnp.concatenate([batch.gt_boxes + 2.0, batch.gt_boxes], axis=1)
+    valid = jnp.concatenate([batch.gt_mask, batch.gt_mask], axis=1)
+    total, metrics = forward_with_external_proposals(
+        model, params, batch, props, valid, jax.random.PRNGKey(1), cfg
+    )
+    assert np.isfinite(float(total))
+    assert "loss_classifier" in metrics and "loss_box_reg" in metrics
