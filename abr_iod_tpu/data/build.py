@@ -25,10 +25,17 @@ def build_dataset(cfg, dataset_name: str, mode: str):
 
 def make_data_loader(cfg, is_train: bool = True, is_distributed: bool = False,
                      start_iter: int = 0, normalize: Optional[bool] = None):
-    """Training/eval loader over DATASETS.TRAIN[0] / DATASETS.TEST[0]."""
-    name = cfg.DATASETS.TRAIN[0] if is_train else cfg.DATASETS.TEST[0]
+    """Training/eval loader over DATASETS.TRAIN / DATASETS.TEST (multiple
+    entries are concatenated like the reference's ConcatDataset)."""
+    names = tuple(cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST)
     mode = "train_new" if is_train else "test_all"
-    source = build_dataset(cfg, name, mode)
+    sources = [build_dataset(cfg, n, mode) for n in names]
+    if len(sources) == 1:
+        source = sources[0]
+    else:
+        from .concat import ConcatDataSource
+
+        source = ConcatDataSource(sources)
     num_shards = jax.process_count() if is_distributed else 1
     shard_index = jax.process_index() if is_distributed else 0
     batch = int(cfg.SOLVER.IMS_PER_BATCH if is_train else cfg.TEST.IMS_PER_BATCH)

@@ -148,13 +148,20 @@ def main():
             b = fuse(*raw, jax.random.PRNGKey(seed))
             return step_fn(state, teacher_params, b)
 
+        debug = os.environ.get("BENCH_DEBUG") == "1"
         for i in range(warmup):
             state, metrics = one_iter(state, i)
+            if debug:
+                print(f"warmup {i}: " + str({k: float(v) for k, v in metrics.items()}),
+                      flush=True)
         jax.block_until_ready(metrics["loss"])
 
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = one_iter(state, warmup + i)
+            if debug:
+                print(f"iter {i}: loss=" + str(float(metrics["loss"])) + " distill="
+                      + str(float(metrics["distillation_loss"])), flush=True)
         jax.block_until_ready(metrics["loss"])
         dt = time.perf_counter() - t0
 

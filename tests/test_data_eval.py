@@ -146,3 +146,18 @@ def test_eval_map_missed_gt():
     ]
     res = eval_detection_voc(pred, gt)
     assert res["ap"][1] == pytest.approx(0.5)
+
+
+def test_concat_data_source(voc_root):
+    from abr_iod_tpu.data.concat import ConcatDataSource
+
+    new = VOC_CLASSES[:4]
+    a = VOCDataSource(voc_root, "trainval", "train_new", (), new, ())
+    b = VOCDataSource(voc_root, "test", "test_all", (), new, ())
+    c = ConcatDataSource([a, b])
+    assert len(c) == len(a) + len(b)
+    rec_a = c.annotation(0)
+    rec_b = c.annotation(len(a))
+    assert rec_a["img_id"] == a.annotation(0)["img_id"]
+    assert rec_b["img_id"] == b.annotation(0)["img_id"]
+    assert c.load_image(len(a)).shape[2] == 3
