@@ -79,6 +79,10 @@ def main():
     cfg.TPU.CANVAS_TRAIN = canvas
     cfg.MEM_BUFF = 2000
     cfg.MEM_TYPE = "mean"
+    # throughput bench runs from RANDOM init (no ImageNet weights in this
+    # environment): un-normalized features are large, so a production LR
+    # diverges within a few steps.  The LR does not affect step cost.
+    cfg.SOLVER.BASE_LR = 1e-6
     if os.environ.get("BENCH_PALLAS") == "1":
         cfg.TPU.USE_PALLAS_ROI_ALIGN = True
 
@@ -105,7 +109,7 @@ def main():
     # background thread; this measures the device step, which is the
     # binding resource on TPU)
     max_gt = int(cfg.TPU.MAX_GT)
-    pixels = rng.uniform(0, 255, (batch, canvas[0], canvas[1], 3)).astype(np.float32)
+    pixels = rng.uniform(96, 160, (batch, canvas[0], canvas[1], 3)).astype(np.float32)
     sizes = np.tile(np.array([[800, 1333]], np.int32), (batch, 1))
     orig_sizes = np.tile(np.array([[375, 500]], np.int32), (batch, 1))
     gt_boxes = np.zeros((batch, max_gt, 4), np.float32)
