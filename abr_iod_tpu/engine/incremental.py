@@ -60,12 +60,19 @@ def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
     )
 
-    # random-keep `keep` of the top-`topk` (generalized_rcnn.py:141-155)
+    # random-keep `keep` of the top-`topk` (generalized_rcnn.py:141-155);
+    # NMS emits valid slots first, so if fewer than topk survive, wrap
+    # the draw onto the valid prefix (the reference samples from however
+    # many proposals exist, :147-151)
+    bsz = pixels.shape[0]
+    n_valid = jnp.sum(props.valid.astype(jnp.int32), axis=1)  # [B]
+
     def pick(k):
         return jax.random.permutation(k, topk)[:keep]
 
-    bsz = pixels.shape[0]
     sel = jax.vmap(pick)(jax.random.split(key, bsz))  # [B, keep]
+    nv = jnp.maximum(n_valid, 1)[:, None]
+    sel = jnp.where(sel < nv, sel, sel % nv)
     boxes = jnp.take_along_axis(props.boxes, sel[..., None], axis=1)
     valid = jnp.take_along_axis(props.valid, sel, axis=1)
 
