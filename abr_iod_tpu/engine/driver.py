@@ -275,12 +275,30 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         fuse = make_abr_batch_fn(cfg_target, bank)
         loader = DetectionLoader(source, cfg_target, batch_size, is_train=True,
                                  seed=int(cfg_target.SEED), normalize=False)
-        raw_iter = loader.raw_batches()
 
         def batch_iter():
+            # background-thread the host decode/resize so it overlaps the
+            # device step (the reference used DataLoader worker processes)
+            import queue as _queue
+            import threading as _threading
+
+            q: "_queue.Queue" = _queue.Queue(maxsize=int(cfg_target.TPU.PREFETCH_DEPTH))
+            sentinel = object()
+
+            def worker():
+                try:
+                    for i, raw in enumerate(loader.raw_batches()):
+                        if i >= max_iter:
+                            break
+                        q.put(raw)
+                finally:
+                    q.put(sentinel)
+
+            _threading.Thread(target=worker, daemon=True).start()
             k = jax.random.PRNGKey(int(cfg_target.SEED) + 1)
-            for i, raw in enumerate(raw_iter):
-                if i >= max_iter:
+            while True:
+                raw = q.get()
+                if raw is sentinel:
                     return
                 k, sub = jax.random.split(k)
                 yield fuse(*[jnp.asarray(x) for x in raw], sub)
@@ -346,7 +364,18 @@ def run_test(cfg, params=None, logger=None, max_images=None):
 
     canvas = tuple(cfg.TPU.CANVAS_TEST)
     eval_step, _ = make_eval_step(model, cfg, canvas)
-    source = make_data_source(cfg, cfg.DATASETS.TEST[0], "test_all")
+    # the reference loops over all DATASETS.TEST entries
+    # (tools/train_incremental.py:303-307); predictions accumulate across
+    # datasets for one combined mAP like its per-dataset inference calls
+    sources = [
+        make_data_source(cfg, name, "test_all") for name in tuple(cfg.DATASETS.TEST)
+    ]
+    if len(sources) == 1:
+        source = sources[0]
+    else:
+        from ..data.concat import ConcatDataSource
+
+        source = ConcatDataSource(sources)
     loader = DetectionLoader(
         source, cfg, batch_size=int(cfg.TEST.IMS_PER_BATCH), is_train=False,
         canvas=canvas, flip=False,
