@@ -288,23 +288,34 @@ def abr_fuse_batch(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask,
 
 def make_abr_batch_fn(cfg, bank: CropBank):
     """jit-compiled (raw host batch, key) → normalized engine Batch:
-    fusion + the reference's Normalize transform fused on device."""
+    fusion + the reference's Normalize transform fused on device.
+
+    The crop bank is passed as a jit ARGUMENT (device-resident), not a
+    closure constant — closing over it would embed the whole pixel bank
+    (potentially hundreds of MB) into the compiled program as literals.
+    """
     from ..engine.train import Batch
 
     canvas = tuple(cfg.TPU.CANVAS_TRAIN)
     mosaic_side = int(min(int(cfg.INPUT.MIN_SIZE_TRAIN[0]), canvas[0], canvas[1]))
     pixel_mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32)
     to_bgr = bool(cfg.INPUT.TO_BGR255)
+    bank_on_device = jax.device_put(bank)
 
     @jax.jit
-    def fuse(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask, key):
+    def fuse_impl(bank_arg, pixels, sizes, orig_sizes, gt_boxes, gt_labels,
+                  gt_mask, key):
         px, sz, bx, lb, mk = abr_fuse_batch(
             pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask,
-            bank, key, mosaic_side,
+            bank_arg, key, mosaic_side,
         )
         if to_bgr:
             px = px[..., ::-1]
         px = px - pixel_mean
         return Batch(px, sz, bx, lb, mk)
+
+    def fuse(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask, key):
+        return fuse_impl(bank_on_device, pixels, sizes, orig_sizes, gt_boxes,
+                         gt_labels, gt_mask, key)
 
     return fuse
