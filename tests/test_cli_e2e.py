@@ -149,3 +149,55 @@ def test_full_pipeline(workdir):
     parts = line.split(",")
     assert parts[0] == "ABR" and parts[1] == "1"
     assert len(parts) == 2 + 20  # name, step, 20 per-class APs
+
+
+def test_multi_step_continuation(workdir):
+    """STEP 2 on a 10-5-style multi-step config: class rotation, weight
+    chaining through STEP1/model_trimmed, PBS memory update."""
+    tool = lambda name: os.path.join(REPO, "tools", name)
+    cfg_dir = workdir / "configs" / "voc" / "m5"
+    cfg_dir.mkdir(parents=True, exist_ok=True)
+
+    first10 = FIRST_15[:10]
+    rest10 = FIRST_15[10:] + LAST_5
+    target = _deep_merge(TINY_COMMON, {
+        "MODEL": {
+            "WEIGHT": "output/15-5/LR005_BS4_FILOD/model_trimmed.msgpack",
+            "SOURCE_WEIGHT": "output/15-5/LR005_BS4_FILOD/model_final.msgpack",
+            "ROI_BOX_HEAD": {
+                "NUM_CLASSES": 21,
+                "NAME_OLD_CLASSES": first10, "NAME_NEW_CLASSES": rest10,
+                "NAME_EXCLUDED_CLASSES": [],
+            },
+        },
+        "DATASETS": {"TRAIN": ["voc_rb_synthetic_train"],
+                     "TEST": ["voc_synthetic_test"]},
+        "OUTPUT_DIR": "output/", "TENSORBOARD_DIR": "output/",
+        "CLS_PER_STEP": 5,
+    })
+    (cfg_dir / "e2e_faster_rcnn_R_50_C4_4x_RB_Target_model.yaml").write_text(
+        yaml.safe_dump(target)
+    )
+
+    # reuse the 15-5 first-task memory from test_full_pipeline as step-0
+    # memory for this task (same on-disk format)
+    import shutil
+    src_mem = workdir / "output" / "15-5" / "LR005_BS4_FILOD" / "mean_8"
+    assert src_mem.exists()
+
+    for s in (1, 2):
+        _run(workdir, tool("train_incremental.py"),
+             "-t", "m5", "-n", "MS", "-s", str(s),
+             "--feat", "ard", "-gamma", "1.0", "--dist_type", "id",
+             "-alpha", "0.5", "-beta", "1.0", "-mb", "8", "-mt", "mean",
+             "--max-iter", "2", "--skip-test")
+        # PBS for this step feeds the next one
+        _run(workdir, tool("prototype_box_selection.py"),
+             "-n", "MS", "-t", "m5", "-s", str(s), "-mb", "8", "-mt", "mean",
+             "-iss")
+        step_out = workdir / "output" / "m5" / "MS" / f"STEP{s}"
+        assert (step_out / "model_trimmed.msgpack").exists(), s
+    mem_dir = workdir / "output" / "m5" / "MS" / "mean_8"
+    assert mem_dir.exists()
+    crops = [f for f in os.listdir(mem_dir) if f.endswith(".jpg")]
+    assert len(crops) >= 4
