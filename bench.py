@@ -58,7 +58,7 @@ def main():
     from abr_iod_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from abr_iod_tpu.solver.optim import make_optimizer
 
-    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "4"))
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     canvas = (832, 1344)
