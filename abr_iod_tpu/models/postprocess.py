@@ -41,6 +41,7 @@ def _postprocess_single(
     detections_per_img: int,
     per_class_topk: int,
     bbox_reg_weights=(10.0, 10.0, 5.0, 5.0),
+    include_background: bool = False,
 ):
     s, c = cls_logits.shape
     probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
@@ -56,6 +57,10 @@ def _postprocess_single(
         )
         return decoded[idx, j], scores_j[idx], ok
 
+    if include_background:
+        # the reference's filter_results also builds a background boxlist
+        # (box_head/inference.py:131-137, returned as results_background)
+        bg_boxes, bg_scores, bg_ok = per_class(jnp.int32(0))
     class_ids = jnp.arange(1, c)  # skip background
     boxes_k, scores_k, ok_k = jax.vmap(per_class)(class_ids)
     labels_k = jnp.broadcast_to(class_ids[:, None], ok_k.shape)
@@ -67,12 +72,15 @@ def _postprocess_single(
 
     d = min(detections_per_img, flat_scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(flat_scores, d)
-    return (
+    out = (
         flat_boxes[top_idx],
         top_scores,
         flat_labels[top_idx].astype(jnp.int32),
         flat_ok[top_idx] & (top_scores > 0),
     )
+    if include_background:
+        return out + ((bg_boxes, bg_scores, bg_ok),)
+    return out
 
 
 @functools.partial(
@@ -109,3 +117,23 @@ def postprocess_detections(
         cls_logits, box_reg, prop_boxes, prop_valid, sizes_hw
     )
     return Detections(boxes, scores, labels, valid)
+
+
+def postprocess_with_background(
+    cls_logits, box_reg, prop_boxes, prop_valid, sizes_hw, **kwargs
+):
+    """Variant that also returns the background-class detections (the
+    reference's (result, results_background) pair,
+    box_head/inference.py:105-151)."""
+    fn = functools.partial(
+        _postprocess_single, include_background=True,
+        score_thresh=float(kwargs.get("score_thresh", 0.05)),
+        nms_thresh=float(kwargs.get("nms_thresh", 0.5)),
+        detections_per_img=int(kwargs.get("detections_per_img", 100)),
+        per_class_topk=int(kwargs.get("per_class_topk", 100)),
+        bbox_reg_weights=tuple(kwargs.get("bbox_reg_weights", (10.0, 10.0, 5.0, 5.0))),
+    )
+    boxes, scores, labels, valid, bg = jax.vmap(fn)(
+        cls_logits, box_reg, prop_boxes, prop_valid, sizes_hw
+    )
+    return Detections(boxes, scores, labels, valid), bg

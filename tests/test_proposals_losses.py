@@ -155,3 +155,23 @@ def test_inclusive_classification_loss_folds_old_classes():
         else:
             expect.append(-(lg[i, lab] - den[i]))
     np.testing.assert_allclose(float(cls_id), np.mean(expect), rtol=1e-5)
+
+
+def test_postprocess_with_background(rng):
+    from abr_iod_tpu.models.postprocess import postprocess_with_background
+
+    b, s, c = 1, 8, 4
+    cls_logits = jnp.asarray(rng.randn(b, s, c).astype(np.float32))
+    box_reg = jnp.asarray(rng.randn(b, s, 4 * c).astype(np.float32) * 0.1)
+    boxes = jnp.asarray(rng.uniform(0, 50, (b, s, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(30)
+    valid = jnp.ones((b, s), bool)
+    sizes = jnp.array([[96, 128]], dtype=jnp.int32)
+    dets, bg = postprocess_with_background(
+        cls_logits, box_reg, boxes, valid, sizes, detections_per_img=10,
+        per_class_topk=4,
+    )
+    assert dets.boxes.shape == (1, 10, 4)
+    bg_boxes, bg_scores, bg_ok = bg
+    assert bg_boxes.shape == (1, 4, 4)
+    assert np.isfinite(np.asarray(bg_scores)).all()
