@@ -78,3 +78,21 @@ def test_fused_vjp_matches_xla_grad(rng):
     df = jnp.einsum("rph,rpwc->hwc", ay, t)
     np.testing.assert_allclose(np.asarray(df), np.asarray(g_xla), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_pallas_bwd_kernel_matches_xla_grad(rng):
+    from abr_iod_tpu.ops.roi_align_pallas import roi_align_pallas_bwd
+
+    h, w, c = 10, 12, 8
+    feats = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    rois = jnp.asarray(_rois(rng, 5, 120))  # 5 % 4 != 0 → roi padding path
+    g = jnp.asarray(rng.randn(5, 3, 3, c).astype(np.float32))
+
+    def loss_xla(f):
+        return jnp.sum(roi_align(f, rois, 3, 1 / 16, 2) * g)
+
+    g_xla = jax.grad(loss_xla)(feats)
+    df = roi_align_pallas_bwd(g, rois, (h, w, c), 3, 1 / 16, 2,
+                              roi_block=4, channel_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(g_xla),
+                               rtol=1e-3, atol=1e-4)
