@@ -184,6 +184,7 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)
 _C.TPU.SCAN_BLOCKS = False  # lax.scan over identical residual blocks (smaller HLO, faster compile)
+_C.TPU.ROI_CHUNK = 512  # RoIAlign roi-chunking (512 = unchunked for the C4 head; best measured)
 _C.TPU.SOFTEN_TOPK = 128  # teacher keeps top-128 proposals …
 _C.TPU.SOFTEN_KEEP = 64  # … and randomly retains 64 (generalized_rcnn.py:141-165)
 _C.TPU.MESH_DATA = -1  # -1: all devices on the data axis

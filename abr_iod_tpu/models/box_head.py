@@ -31,6 +31,7 @@ class RoiBoxHead(nn.Module):
     dtype: Any = jnp.float32
     roi_align_precision: str = "default"
     use_pallas_roi_align: bool = False
+    roi_chunk: int = 128
 
     @nn.compact
     def __call__(self, features, rois, rois_valid=None):
@@ -55,6 +56,7 @@ class RoiBoxHead(nn.Module):
                     spatial_scale=self.pooler_scale,
                     sampling_ratio=self.pooler_sampling_ratio,
                     precision=self.roi_align_precision,
+                    roi_chunk=self.roi_chunk,
                 )
             )(features, rois)
         roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency

@@ -33,4 +33,5 @@ def build_detection_model(cfg) -> FasterRCNN:
         roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
         use_pallas_roi_align=bool(cfg.TPU.get("USE_PALLAS_ROI_ALIGN", False)),
         scan_blocks=bool(cfg.TPU.get("SCAN_BLOCKS", False)),
+        roi_chunk=int(cfg.TPU.get("ROI_CHUNK", 128)),
     )

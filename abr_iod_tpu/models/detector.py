@@ -45,6 +45,7 @@ class FasterRCNN(nn.Module):
     roi_align_precision: str = "default"
     use_pallas_roi_align: bool = False
     scan_blocks: bool = False
+    roi_chunk: int = 128
 
     def setup(self):
         self.backbone_net = ResNetC4(
@@ -66,6 +67,7 @@ class FasterRCNN(nn.Module):
             dtype=self.dtype,
             roi_align_precision=self.roi_align_precision,
             use_pallas_roi_align=self.use_pallas_roi_align,
+            roi_chunk=self.roi_chunk,
             name="roi_heads",
         )
         if self.mask_on:

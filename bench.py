@@ -85,6 +85,10 @@ def main():
     cfg.SOLVER.BASE_LR = 1e-6
     if os.environ.get("BENCH_PALLAS") == "1":
         cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    if os.environ.get("BENCH_ROI_CHUNK"):
+        cfg.TPU.ROI_CHUNK = int(os.environ["BENCH_ROI_CHUNK"])
+    if os.environ.get("BENCH_SCAN") == "1":
+        cfg.TPU.SCAN_BLOCKS = True
 
     cfg_teacher = cfg.clone()
     cfg_teacher.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 16

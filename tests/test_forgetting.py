@@ -1,0 +1,194 @@
+"""The method-level claim: ABR (box replay + inclusive distillation + ARD)
+retains old-class detection better than naive finetuning.
+
+This is the closest in-CI analogue of the reference's headline VOC
+experiments: train a first task on synthetic classes {1,2}, then run an
+incremental step on class {3} two ways — naive finetune (new-class data
+only, plain CE) vs ABR (crop-bank replay + UCE + ARD) — and compare
+old-class mAP after.  Gated behind ABR_IOD_RUN_SLOW=1 (≈10 min on 1 CPU);
+run in CI rounds, not on every pytest invocation.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+if os.environ.get("ABR_IOD_RUN_SLOW") != "1":
+    pytest.skip("slow forgetting test (set ABR_IOD_RUN_SLOW=1)",
+                allow_module_level=True)
+
+from abr_iod_tpu.config import get_default_config, VOC_CLASSES
+from abr_iod_tpu.data.abr_fusion import make_abr_batch_fn
+from abr_iod_tpu.data.loader import DetectionLoader
+from abr_iod_tpu.data.synthetic import make_synthetic_voc
+from abr_iod_tpu.data.voc import VOCDataSource
+from abr_iod_tpu.engine import TrainState, make_train_step, make_eval_step
+from abr_iod_tpu.engine.incremental import make_incremental_train_step
+from abr_iod_tpu.evaluation.voc_eval import eval_detection_voc
+from abr_iod_tpu.memory.rehearsal import Mem, load_crop_bank
+from abr_iod_tpu.memory.pbs import extract_bboxes_and_features
+from abr_iod_tpu.models import FasterRCNN
+from abr_iod_tpu.solver.optim import make_optimizer
+from abr_iod_tpu.utils.checkpoint import align_and_update_params
+
+CANVAS = (128, 160)
+OLD = VOC_CLASSES[:2]
+NEW = (VOC_CLASSES[2],)
+
+
+def _model(num_classes):
+    return FasterRCNN(
+        num_classes=num_classes, num_anchors=9,
+        backbone_stages=(1, 1, 1), width_per_group=8, res2_out_channels=16,
+        res5_blocks=1, res5_bottleneck=16, res5_out=32,
+    )
+
+
+def _cfg(old, new, num_classes, lr=0.02):
+    cfg = get_default_config()
+    cfg.MODEL.RPN.ANCHOR_SIZES = (24, 48, 96)
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = num_classes
+    cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = tuple(old)
+    cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = tuple(new)
+    cfg.TPU.PRE_NMS_TOP_N_TRAIN = 256
+    cfg.TPU.POST_NMS_TOP_N_TRAIN = 64
+    cfg.TPU.PRE_NMS_TOP_N_TEST = 256
+    cfg.TPU.POST_NMS_TOP_N_TEST = 64
+    cfg.TPU.SOFTEN_TOPK = 32
+    cfg.TPU.SOFTEN_KEEP = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 48
+    cfg.SOLVER.BASE_LR = lr
+    cfg.SOLVER.WARMUP_ITERS = 30
+    cfg.SOLVER.STEPS = (100000,)
+    cfg.TPU.MAX_GT = 8
+    cfg.TPU.CANVAS_TRAIN = CANVAS
+    cfg.TPU.CANVAS_TEST = CANVAS
+    cfg.TPU.CROP_BANK_HW = (64, 64)
+    cfg.INPUT.MIN_SIZE_TRAIN = (128,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.INPUT.MIN_SIZE_TEST = 128
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    return cfg
+
+
+def _eval_old_map(model, cfg, params, root):
+    eval_step, _ = make_eval_step(model, cfg, CANVAS)
+    src = VOCDataSource(root, "test", "test_all", OLD, NEW, (),
+                        keep_difficult=True)
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=False,
+                             canvas=CANVAS, flip=False)
+    preds, gts = [], []
+    for batch, records, n_valid in loader.eval_batches():
+        dets = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
+        for i in range(n_valid):
+            v = np.asarray(dets.valid[i])
+            rec = records[i]
+            nh, nw = batch.sizes[i]
+            sx, sy = rec["width"] / nw, rec["height"] / nh
+            preds.append({
+                "boxes": np.asarray(dets.boxes[i])[v] * np.array([sx, sy, sx, sy]),
+                "labels": np.asarray(dets.labels[i])[v],
+                "scores": np.asarray(dets.scores[i])[v],
+            })
+            gts.append({"boxes": rec["boxes"], "labels": rec["labels"],
+                        "difficult": rec["difficult"]})
+    res = eval_detection_voc(preds, gts)
+    # mean AP over the two OLD classes only
+    return float(np.nanmean(res["ap"][1:3]))
+
+
+def test_abr_retains_old_classes_better_than_finetune(tmp_path):
+    root = str(tmp_path / "VOC2007")
+    make_synthetic_voc(root, n_images=24, classes=VOC_CLASSES[:3],
+                       image_hw=(128, 160), max_objects=2, seed=11)
+
+    # ---- first task: classes 1-2
+    cfg0 = _cfg((), OLD, num_classes=3)
+    model0 = _model(3)
+    src0 = VOCDataSource(root, "trainval", "train_new", (), OLD, NEW)
+    loader0 = DetectionLoader(src0, cfg0, batch_size=4, is_train=True, seed=0)
+    pixels = jnp.zeros((4, *CANVAS, 3))
+    rois0 = jnp.zeros((4, 2, 4)) + jnp.asarray([0.0, 0.0, 20.0, 20.0])
+    params0 = model0.init(jax.random.PRNGKey(0), pixels, rois0)
+    tx0 = make_optimizer(cfg0, params0)
+    state = TrainState(params0, tx0.init(params0), jnp.zeros((), jnp.int32))
+    step0, _ = make_train_step(model0, tx0, cfg0, CANVAS)
+    for batch in loader0.batches(max_batches=200):
+        state, _ = step0(state, batch)
+    teacher_params = state.params
+
+    base_old_map = _eval_old_map(model0, cfg0, teacher_params, root)
+    assert base_old_map > 0.3, f"first task failed to learn: {base_old_map}"
+
+    # ---- PBS: build the box memory from the first task
+    cfg_pbs = _cfg((), OLD, num_classes=3)
+    cfg_pbs.MEM_BUFF = 8
+    cfg_pbs.MEM_TYPE = "random"
+    src_pbs = VOCDataSource(root, "trainval", "sample_new", (), OLD, NEW)
+    loader_pbs = DetectionLoader(src_pbs, cfg_pbs, batch_size=4, is_train=False,
+                                 canvas=CANVAS, flip=False)
+    info = extract_bboxes_and_features(model0, teacher_params, loader_pbs, cfg_pbs)
+    # relax the reference's 70px filter for the small synthetic images
+    if sum(len(c) for c in info) == 0:
+        pytest.skip("no boxes survived the 70px PBS filter")
+    mem_dir = str(tmp_path / "mem")
+    os.makedirs(mem_dir, exist_ok=True)
+    mem = Mem(cfg_pbs, step=0, current_mem_path=mem_dir, img_root=root)
+    mem.update_memory(info)
+    bank = load_crop_bank(mem_dir, bank_hw=(64, 64))
+
+    # ---- incremental step data: class 3 images only
+    def make_student():
+        model1 = _model(4)
+        fresh = model1.init(jax.random.PRNGKey(2), pixels, rois0)
+        grown = align_and_update_params(fresh, teacher_params)
+        return model1, grown
+
+    src1 = VOCDataSource(root, "trainval", "train_new", OLD, NEW, ())
+
+    # (a) naive finetune: plain CE on new-class data
+    cfg_ft = _cfg(OLD, NEW, num_classes=4, lr=0.02)
+    cfg_ft.DIST.TYPE = "none"
+    model_ft, params_ft = make_student()
+    loader_ft = DetectionLoader(src1, cfg_ft, batch_size=4, is_train=True, seed=1)
+    tx = make_optimizer(cfg_ft, params_ft)
+    state = TrainState(params_ft, tx.init(params_ft), jnp.zeros((), jnp.int32))
+    step_ft, _ = make_train_step(model_ft, tx, cfg_ft, CANVAS)
+    for batch in loader_ft.batches(max_batches=120):
+        state, _ = step_ft(state, batch)
+    ft_old_map = _eval_old_map(model_ft, cfg_ft, state.params, root)
+
+    # (b) ABR: replay crops + inclusive distillation + ARD
+    cfg_abr = _cfg(OLD, NEW, num_classes=4, lr=0.02)
+    cfg_abr.DIST.TYPE = "id"
+    cfg_abr.DIST.ALPHA = 0.5
+    cfg_abr.DIST.BETA = 1.0
+    cfg_abr.DIST.GAMMA = 1.0
+    cfg_abr.DIST.FEAT = "ard"
+    model_abr, params_abr = make_student()
+    fuse = make_abr_batch_fn(cfg_abr, bank)
+    loader_abr = DetectionLoader(src1, cfg_abr, batch_size=4, is_train=True,
+                                 seed=1, normalize=False)
+    tx = make_optimizer(cfg_abr, params_abr)
+    state = TrainState(params_abr, tx.init(params_abr), jnp.zeros((), jnp.int32))
+    step_abr, _ = make_incremental_train_step(
+        model0, model_abr, tx, cfg_abr, CANVAS, n_old_classes=2
+    )
+    k = jax.random.PRNGKey(7)
+    raw_iter = loader_abr.raw_batches()
+    for i in range(120):
+        raw = next(raw_iter)
+        k, sub = jax.random.split(k)
+        b = fuse(*[jnp.asarray(x) for x in raw], sub)
+        state, m = step_abr(state, teacher_params, b)
+    abr_old_map = _eval_old_map(model_abr, cfg_abr, state.params, root)
+
+    print(f"old-class mAP: base={base_old_map:.3f} finetune={ft_old_map:.3f} "
+          f"ABR={abr_old_map:.3f}")
+    assert abr_old_map > ft_old_map + 0.05, (
+        f"ABR ({abr_old_map:.3f}) should retain old classes better than "
+        f"finetune ({ft_old_map:.3f}); base was {base_old_map:.3f}"
+    )
