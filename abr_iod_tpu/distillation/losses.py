@@ -61,7 +61,10 @@ def attentive_roi_distillation_loss(roi_feats_student, roi_feats_teacher, gamma=
 
     pad = jnp.mean(jnp.abs(att_from_student - att_from_teacher))
 
-    w = jnp.sqrt(att_from_student)[..., None]
+    # eps guards sqrt's infinite gradient where the spatial softmax
+    # underflows to exactly 0 (the reference's torch.sqrt has the same
+    # singularity; float32 saturation makes it a real NaN source here)
+    w = jnp.sqrt(att_from_student + 1e-6)[..., None]
     fs = roi_feats_student.astype(jnp.float32) * w
     ft = roi_feats_teacher.astype(jnp.float32) * w
     afd = jnp.mean((fs - ft) ** 2)
