@@ -79,10 +79,11 @@ def main():
     cfg.TPU.CANVAS_TRAIN = canvas
     cfg.MEM_BUFF = 2000
     cfg.MEM_TYPE = "mean"
-    # throughput bench runs from RANDOM init (no ImageNet weights in this
-    # environment): un-normalized features are large, so a production LR
-    # diverges within a few steps.  The LR does not affect step cost.
-    cfg.SOLVER.BASE_LR = 1e-6
+    # the reference's incremental-step LR (run_SI.sh recipe); training
+    # runs from random init here (no ImageNet weights in this
+    # environment), which this LR tolerates now that the ARD gradient
+    # singularity is fixed
+    cfg.SOLVER.BASE_LR = 0.002
     if os.environ.get("BENCH_PALLAS") == "1":
         cfg.TPU.USE_PALLAS_ROI_ALIGN = True
     if os.environ.get("BENCH_ROI_CHUNK"):
