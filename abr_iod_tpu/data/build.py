@@ -12,7 +12,6 @@ from typing import Optional
 
 import jax
 
-from ..config.catalog import DatasetCatalog
 from .loader import DetectionLoader
 
 

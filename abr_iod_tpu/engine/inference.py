@@ -6,8 +6,6 @@ batch-sharded over the mesh like training, fixing that wart).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ XLA to TPU depthwise convs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

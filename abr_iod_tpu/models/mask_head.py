@@ -13,7 +13,7 @@ Components mirrored:
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -17,8 +17,6 @@ Used by DFConv2d (layers/misc.py:114-203) when STAGE_WITH_DCN.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -18,8 +18,6 @@ terminates (typically in 2-4 sweeps).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -10,8 +10,6 @@ heavy weights (res5 / predictor) — capability the reference never had.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -14,7 +14,7 @@ Masker paste-back (mask_head/inference.py:12-200, threshold 0.5).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

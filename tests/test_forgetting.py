@@ -152,19 +152,19 @@ def test_abr_retains_old_classes_better_than_finetune(tmp_path):
     src1 = VOCDataSource(root, "trainval", "train_new", OLD, NEW, ())
 
     # (a) naive finetune: plain CE on new-class data
-    cfg_ft = _cfg(OLD, NEW, num_classes=4, lr=0.008)
+    cfg_ft = _cfg(OLD, NEW, num_classes=4, lr=0.005)
     cfg_ft.DIST.TYPE = "none"
     model_ft, params_ft = make_student()
     loader_ft = DetectionLoader(src1, cfg_ft, batch_size=4, is_train=True, seed=1)
     tx = make_optimizer(cfg_ft, params_ft)
     state = TrainState(params_ft, tx.init(params_ft), jnp.zeros((), jnp.int32))
     step_ft, _ = make_train_step(model_ft, tx, cfg_ft, CANVAS)
-    for batch in loader_ft.batches(max_batches=120):
+    for batch in loader_ft.batches(max_batches=200):
         state, _ = step_ft(state, batch)
     ft_old_map = _eval_old_map(model_ft, cfg_ft, state.params, root)
 
     # (b) ABR: replay crops + inclusive distillation + ARD
-    cfg_abr = _cfg(OLD, NEW, num_classes=4, lr=0.008)
+    cfg_abr = _cfg(OLD, NEW, num_classes=4, lr=0.005)
     cfg_abr.DIST.TYPE = "id"
     cfg_abr.DIST.ALPHA = 1.0
     cfg_abr.DIST.BETA = 1.0
@@ -181,7 +181,7 @@ def test_abr_retains_old_classes_better_than_finetune(tmp_path):
     )
     k = jax.random.PRNGKey(7)
     raw_iter = loader_abr.raw_batches()
-    for i in range(120):
+    for i in range(200):
         raw = next(raw_iter)
         k, sub = jax.random.split(k)
         b = fuse(*[jnp.asarray(x) for x in raw], sub)
