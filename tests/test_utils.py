@@ -1,0 +1,66 @@
+import time
+
+import numpy as np
+
+from abr_iod_tpu.utils.comm import (
+    all_gather_objects,
+    get_rank,
+    get_world_size,
+    reduce_dict,
+    synchronize,
+)
+from abr_iod_tpu.utils.logging import MetricLogger, SmoothedValue
+from abr_iod_tpu.utils.misc import Timer, collect_env_info, import_file, mkdir
+
+
+def test_comm_single_process():
+    assert get_world_size() == 1 and get_rank() == 0
+    synchronize()  # no-op
+    assert all_gather_objects({"a": 1}) == [{"a": 1}]
+    out = reduce_dict({"x": 2.0, "y": 4.0})
+    assert out == {"x": 2.0, "y": 4.0}
+
+
+def test_smoothed_value_and_metric_logger():
+    sv = SmoothedValue(window_size=3)
+    for v in (1.0, 2.0, 3.0, 4.0):
+        sv.update(v)
+    assert sv.avg == 3.0  # window (2,3,4)
+    assert sv.global_avg == 2.5
+    assert sv.median == 3.0
+    m = MetricLogger()
+    m.update(loss=1.0, acc=0.5)
+    assert "loss" in str(m)
+    assert m.loss.global_avg == 1.0
+
+
+def test_timer():
+    t = Timer()
+    t.tic()
+    time.sleep(0.01)
+    dt = t.toc(average=False)
+    assert dt >= 0.01
+    assert t.calls == 1
+
+
+def test_collect_env_and_import_file(tmp_path):
+    info = collect_env_info()
+    assert "jax:" in info
+    mod_path = tmp_path / "m.py"
+    mod_path.write_text("VALUE = 42\n")
+    mod = import_file("m_dynamic", str(mod_path))
+    assert mod.VALUE == 42
+    mkdir(str(tmp_path / "sub"))
+
+
+def test_scalar_writer(tmp_path):
+    import json
+
+    from abr_iod_tpu.utils.logging import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path))
+    w.add_scalar("loss", 1.5, 10)
+    w.close()
+    lines = (tmp_path / "scalars.jsonl").read_text().strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["tag"] == "loss" and rec["value"] == 1.5 and rec["step"] == 10
