@@ -103,8 +103,13 @@ def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
                 )
             return fresh
 
+    if not os.path.exists(path):
+        if logger:
+            logger.warning(f"weight file {path!r} not found — random init")
+        return fresh
+
     if path.endswith((".pkl", ".pth", ".pt")):
-        from .. utils.weight_converter import load_pretrained_backbone
+        from ..utils.weight_converter import load_pretrained_backbone
 
         tree = load_pretrained_backbone(path)
         return align_and_update_params(fresh, {"params": tree}, log_fn=log_fn)
