@@ -1,0 +1,59 @@
+"""Layer factory helpers (reference: modeling/make_layers.py — GN helper,
+kaiming conv/fc factories used by FPN/Xconv heads)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def group_norm(num_groups: int = 32, epsilon: float = 1e-5, dtype: Any = jnp.float32):
+    """GroupNorm module factory (reference make_layers.py group_norm:
+    cfg.MODEL.GROUP_NORM.{NUM_GROUPS,EPSILON})."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon, dtype=dtype)
+
+
+def make_conv3x3(out_channels: int, dilation: int = 1, stride: int = 1,
+                 use_gn: bool = False, use_relu: bool = False,
+                 kaiming_init: bool = True, dtype: Any = jnp.float32):
+    """3x3 conv (+ optional GN + ReLU) factory (make_layers.py make_conv3x3)."""
+    init = (
+        nn.initializers.kaiming_normal()
+        if kaiming_init
+        else nn.initializers.normal(0.01)
+    )
+
+    def conv_factory():
+        return nn.Conv(
+            out_channels, (3, 3), strides=(stride, stride),
+            padding=((dilation, dilation), (dilation, dilation)),
+            kernel_dilation=(dilation, dilation),
+            use_bias=not use_gn, kernel_init=init, dtype=dtype,
+        )
+
+    if not (use_gn or use_relu):
+        return conv_factory()
+
+    class _Block(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = conv_factory()(x)
+            if use_gn:
+                y = group_norm(dtype=dtype)(y)
+            if use_relu:
+                y = nn.relu(y)
+            return y
+
+    return _Block()
+
+
+def make_fc(out_features: int, use_gn: bool = False, dtype: Any = jnp.float32):
+    """FC factory with caffe2 XavierFill-equivalent init (make_layers.py
+    make_fc)."""
+    return nn.Dense(
+        out_features, use_bias=not use_gn,
+        kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+        dtype=dtype,
+    )

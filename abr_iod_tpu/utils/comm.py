@@ -61,3 +61,11 @@ def reduce_dict(d: Dict[str, jnp.ndarray], average: bool = True) -> Dict[str, fl
         vals = [g[k] for g in gathered]
         out[k] = sum(vals) / len(vals) if average else sum(vals)
     return out
+
+
+def reduce_loss_dict(loss_dict):
+    """Name-parity alias for the reference's engine/trainer.py:15-37:
+    inside a jit step over the mesh, losses come back already globally
+    averaged, so this is the identity on a single host and a cross-host
+    mean otherwise."""
+    return reduce_dict(loss_dict, average=True)

@@ -51,3 +51,31 @@ def test_keypoint_flip():
     kps[0, 1] = [10, 5, 1]  # left_eye
     out = hflip_keypoints(kps, width=100)
     assert out[0, 2, 0] == 89  # appears as right_eye, mirrored
+
+
+def test_make_layers_factories():
+    import jax
+    import jax.numpy as jnp
+
+    from abr_iod_tpu.models.make_layers import group_norm, make_conv3x3, make_fc
+
+    x = jnp.ones((1, 8, 8, 4))
+    conv = make_conv3x3(6, use_gn=True, use_relu=True)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    y = conv.apply(params, x)
+    assert y.shape == (1, 8, 8, 6)
+    assert (np.asarray(y) >= 0).all()  # relu applied
+
+    fc = make_fc(5)
+    p2 = fc.init(jax.random.PRNGKey(0), jnp.ones((2, 3)))
+    assert fc.apply(p2, jnp.ones((2, 3))).shape == (2, 5)
+
+    gn = group_norm(num_groups=2)
+    p3 = gn.init(jax.random.PRNGKey(0), x)
+    assert gn.apply(p3, x).shape == x.shape
+
+
+def test_reduce_loss_dict_alias():
+    from abr_iod_tpu.utils.comm import reduce_loss_dict
+
+    assert reduce_loss_dict({"a": 1.0}) == {"a": 1.0}
