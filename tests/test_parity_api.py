@@ -60,10 +60,10 @@ def test_make_layers_factories():
     from abr_iod_tpu.models.make_layers import group_norm, make_conv3x3, make_fc
 
     x = jnp.ones((1, 8, 8, 4))
-    conv = make_conv3x3(6, use_gn=True, use_relu=True)
+    conv = make_conv3x3(64, use_gn=True, use_relu=True)  # 64 % 32 groups == 0
     params = conv.init(jax.random.PRNGKey(0), x)
     y = conv.apply(params, x)
-    assert y.shape == (1, 8, 8, 6)
+    assert y.shape == (1, 8, 8, 64)
     assert (np.asarray(y) >= 0).all()  # relu applied
 
     fc = make_fc(5)
