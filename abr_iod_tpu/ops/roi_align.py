@@ -99,15 +99,24 @@ def roi_align(
     a_y = _interp_matrix(start_h, bin_h, H, output_size, sampling_ratio, dtype)
     a_x = _interp_matrix(start_w, bin_w, W, output_size, sampling_ratio, dtype)
 
-    feat = features.astype(jnp.float32)
+    # "highest" keeps f32 everywhere for exact parity with the CUDA
+    # kernel; "default" keeps bf16 inputs IN bf16 so the [r,P,W,C]
+    # intermediate costs half the HBM traffic (the MXU uses bf16 passes
+    # for f32-default anyway, so numerics are ~unchanged).
+    if precision == "highest" or features.dtype == jnp.float32:
+        feat = features.astype(jnp.float32)
+        acc_dtype = jnp.float32
+    else:
+        feat = features
+        a_y = a_y.astype(features.dtype)
+        a_x = a_x.astype(features.dtype)
+        acc_dtype = features.dtype
 
     def chunk_fn(args):
         ay, ax = args  # [r, P, H], [r, P, W]
-        # "highest" keeps f32 MXU passes on TPU for exact parity with the
-        # CUDA kernel; perf configs can use "default" (bf16 passes).
         tmp = jnp.einsum(
             "rph,hwc->rpwc", ay, feat, precision=precision,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
         out = jnp.einsum(
             "rqw,rpwc->rpqc", ax, tmp, precision=precision,
