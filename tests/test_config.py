@@ -1,0 +1,127 @@
+"""Config system: yacs compatibility, generated task configs, surgery."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+from abr_iod_tpu.config import ConfigNode, get_default_config, VOC_CLASSES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_yacs_tuple_string_decode(tmp_path):
+    """The reference's YAMLs contain python-tuple strings like "(16,)"
+    (yacs convention) — they must decode to tuples."""
+    f = tmp_path / "c.yaml"
+    f.write_text(
+        "MODEL:\n  RPN:\n    ANCHOR_STRIDE: (16,)\n"
+        "DATASETS:\n  TRAIN: (\"voc_rb_2007_trainval\",)\n"
+    )
+    cfg = get_default_config()
+    cfg.merge_from_file(str(f))
+    assert cfg.MODEL.RPN.ANCHOR_STRIDE == (16,)
+    assert cfg.DATASETS.TRAIN == ("voc_rb_2007_trainval",)
+
+
+def test_freeze_and_clone():
+    cfg = get_default_config()
+    cfg.NEW_KEY = 5  # pre-freeze attribute assignment (reference TASK/STEP)
+    clone = cfg.clone()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.SOLVER.BASE_LR = 1.0
+    clone.SOLVER.BASE_LR = 1.0  # clone stays mutable
+    assert cfg.NEW_KEY == 5
+
+
+def test_merge_from_list():
+    cfg = get_default_config()
+    cfg.merge_from_list(["SOLVER.BASE_LR", "0.02", "TPU.CANVAS_TRAIN", "(64, 96)"])
+    assert cfg.SOLVER.BASE_LR == 0.02
+    assert tuple(cfg.TPU.CANVAS_TRAIN) == (64, 96)
+
+
+def test_dump_roundtrip(tmp_path):
+    cfg = get_default_config()
+    text = cfg.dump()
+    data = yaml.safe_load(text)
+    assert data["MODEL"]["RPN"]["NMS_THRESH"] == 0.7
+
+
+@pytest.fixture(scope="module")
+def generated_configs(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cfgs")
+    env = dict(os.environ)
+    env["ABR_IOD_REFERENCE_CONFIGS"] = "/nonexistent"  # force fallbacks
+    env["ABR_IOD_CONFIG_OUT"] = str(out / "voc")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "generate_configs.py")],
+        env=env, capture_output=True, text=True, cwd=str(out),
+    )
+    assert proc.returncode == 0, proc.stderr
+    return str(out / "voc")
+
+
+def test_all_generated_configs_load(generated_configs):
+    tasks = ["19-1", "15-5", "10-10", "5-15", "10-5", "10-2", "15-1", "10-1", "5-5"]
+    for task in tasks:
+        for name in (
+            "e2e_faster_rcnn_R_50_C4_4x.yaml",
+            "e2e_faster_rcnn_R_50_C4_4x_Target_model.yaml",
+            "e2e_faster_rcnn_R_50_C4_4x_RB_Target_model.yaml",
+        ):
+            path = os.path.join(generated_configs, task, name)
+            assert os.path.exists(path), path
+            cfg = get_default_config()
+            cfg.merge_from_file(path)
+            head = cfg.MODEL.ROI_BOX_HEAD
+            n_first = int(task.split("-")[0])
+            if "Target" in name:
+                assert len(head.NAME_OLD_CLASSES) == n_first
+                assert (
+                    len(head.NAME_OLD_CLASSES)
+                    + len(head.NAME_NEW_CLASSES)
+                    + len(head.NAME_EXCLUDED_CLASSES)
+                    == 20
+                )
+                assert head.NUM_CLASSES == 21
+            else:
+                assert len(head.NAME_NEW_CLASSES) == n_first
+                assert head.NUM_CLASSES == n_first + 1
+    # JT config
+    jt = os.path.join(generated_configs, "e2e_faster_rcnn_R_50_C4_4x_JT.yaml")
+    cfg = get_default_config()
+    cfg.merge_from_file(jt)
+    assert len(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES) == 20
+
+
+def test_incremental_config_surgery_multistep():
+    """train_incremental's per-step class rotation (reference
+    train_incremental.py:430-454)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import argparse
+
+    from train_incremental import build_configs
+
+    args = argparse.Namespace(
+        memory_type="mean", task="10-5", step=2, name="T", seed=1,
+        feat="ard", att_gamma=1.0, inc=False,
+        alpha_inclusive_distillation=1.0, beta_attentive_roi_distillation=1.0,
+        dist_type="id", memory_buffer=2000, tpu_opts=None,
+    )
+    cwd = os.getcwd()
+    os.chdir(REPO)
+    try:
+        cfg_source, cfg_target = build_configs(args)
+    finally:
+        os.chdir(cwd)
+    # step 2 of 10-5: teacher has 10 + 5 = 15+1 classes, student 20+1
+    assert cfg_source.MODEL.ROI_BOX_HEAD.NUM_CLASSES == 16
+    assert cfg_target.MODEL.ROI_BOX_HEAD.NUM_CLASSES == 21
+    assert len(cfg_target.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES) == 15
+    assert len(cfg_target.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES) == 5
+    assert len(cfg_target.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES) == 0
+    assert "STEP1/model_trimmed" in cfg_target.MODEL.WEIGHT

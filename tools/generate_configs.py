@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from abr_iod_tpu.config.catalog import VOC_CLASSES  # noqa: E402
 
 REF = os.environ.get("ABR_IOD_REFERENCE_CONFIGS", "/root/reference/configs/voc")
-OUT = os.path.join(os.path.dirname(__file__), "..", "configs", "voc")
+OUT = os.environ.get(
+    "ABR_IOD_CONFIG_OUT",
+    os.path.join(os.path.dirname(__file__), "..", "configs", "voc"),
+)
 
 TASKS = {
     # task: (n_first, cls_per_step or None)
