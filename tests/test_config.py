@@ -125,3 +125,25 @@ def test_incremental_config_surgery_multistep():
     assert len(cfg_target.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES) == 5
     assert len(cfg_target.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES) == 0
     assert "STEP1/model_trimmed" in cfg_target.MODEL.WEIGHT
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/configs/voc"),
+    reason="reference tree not mounted",
+)
+def test_reference_yaml_files_load_unchanged():
+    """The reference's own yacs YAMLs (python-tuple strings and all) must
+    merge cleanly into our config tree — key-surface parity."""
+    ref = "/root/reference/configs/voc"
+    loaded = 0
+    for dirpath, _, files in os.walk(ref):
+        for f in files:
+            if not f.endswith(".yaml"):
+                continue
+            cfg = get_default_config()
+            cfg.merge_from_file(os.path.join(dirpath, f))
+            assert cfg.MODEL.META_ARCHITECTURE == "GeneralizedRCNN"
+            assert isinstance(cfg.MODEL.RPN.ANCHOR_STRIDE, tuple)
+            assert cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES >= 2
+            loaded += 1
+    assert loaded >= 20  # 9 tasks x ~3 files + JT
