@@ -64,12 +64,21 @@ class DetectionLoader:
     def _indices(self) -> Iterator[int]:
         n = len(self.source)
         epoch = 0
+        # resume fast-forward: skip the batches already consumed before the
+        # checkpoint so a resumed run continues the stream instead of
+        # re-reading the first start_iter batches (reference
+        # IterationBasedBatchSampler, data/samplers/iteration_based_batch_sampler.py)
+        skip = self.start_iter * self.batch_size if self.is_train else 0
         while True:
             order = np.arange(n)
             if self.is_train:
                 np.random.RandomState(self.seed + epoch).shuffle(order)
             order = order[self.shard_index :: self.num_shards]
-            yield from order
+            if skip >= len(order):
+                skip -= len(order)
+            else:
+                yield from order[skip:]
+                skip = 0
             epoch += 1
             if not self.is_train:
                 return

@@ -48,10 +48,24 @@ def _activation_at(f_map, temp: float = 2.0):
     return h * w * s
 
 
-def attentive_roi_distillation_loss(roi_feats_student, roi_feats_teacher, gamma=1.0):
+def _wmean(per_sample, weights):
+    """Mean over the leading N axis, optionally restricted to weights>0
+    slots (the reference only ever distills over proposals that exist —
+    random.sample draws without replacement, generalized_rcnn.py:147-151)."""
+    per_sample = per_sample.astype(jnp.float32)
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def attentive_roi_distillation_loss(
+    roi_feats_student, roi_feats_teacher, gamma=1.0, weights=None
+):
     """ARD (reference distillation.py:86-118).
 
-    roi_feats_*: [N, P, P, C] pooled RoI features.  NOTE: the reference
+    roi_feats_*: [N, P, P, C] pooled RoI features; weights: optional [N]
+    validity mask (padding slots contribute nothing).  NOTE: the reference
     computes the AFD weighting attention from the *student* map (its
     variable names are swapped at distillation.py:95-96); we reproduce
     that behavior exactly since it defines the published recipe.
@@ -59,7 +73,9 @@ def attentive_roi_distillation_loss(roi_feats_student, roi_feats_teacher, gamma=
     att_from_student = _activation_at(roi_feats_student)
     att_from_teacher = _activation_at(roi_feats_teacher)
 
-    pad = jnp.mean(jnp.abs(att_from_student - att_from_teacher))
+    pad = _wmean(
+        jnp.mean(jnp.abs(att_from_student - att_from_teacher), axis=(1, 2)), weights
+    )
 
     # eps guards sqrt's infinite gradient where the spatial softmax
     # underflows to exactly 0 (the reference's torch.sqrt has the same
@@ -67,7 +83,7 @@ def attentive_roi_distillation_loss(roi_feats_student, roi_feats_teacher, gamma=
     w = jnp.sqrt(att_from_student + 1e-6)[..., None]
     fs = roi_feats_student.astype(jnp.float32) * w
     ft = roi_feats_teacher.astype(jnp.float32) * w
-    afd = jnp.mean((fs - ft) ** 2)
+    afd = _wmean(jnp.mean((fs - ft) ** 2, axis=(1, 2, 3)), weights)
     return afd + gamma * pad
 
 
@@ -90,12 +106,13 @@ def roi_distillation_losses(
     target_scores,
     target_bboxes,
     dist: str = "id",
+    weights=None,
 ):
     """Inclusive Distillation ('id') or mean-normalized L2 ('l2') over the
     teacher's soften proposals (reference distillation.py:164-240).
 
     soften_scores [N, C_old], target_scores [N, C_new >= C_old];
-    *_bboxes [N, C, 4].
+    *_bboxes [N, C, 4]; weights: optional [N] validity mask.
     """
     soften_scores = soften_scores.astype(jnp.float32)
     target_scores = target_scores.astype(jnp.float32)
@@ -115,13 +132,13 @@ def roi_distillation_losses(
         loss = (
             labels[:, 0] * out_bkg + jnp.sum(labels[:, 1:] * out_no_bkg, axis=1)
         ) / c_old
-        cls_loss = -jnp.mean(loss)
+        cls_loss = -_wmean(loss, weights)
     elif dist == "l2":
         # 'normalization' preprocess: subtract per-row mean, truncate the
         # student to the teacher's C_old columns (distillation.py:170-177)
         ns = soften_scores - jnp.mean(soften_scores, axis=1, keepdims=True)
         nt = target_scores - jnp.mean(target_scores, axis=1, keepdims=True)
-        cls_loss = jnp.mean(jnp.mean((ns - nt[:, :c_old]) ** 2, axis=1))
+        cls_loss = _wmean(jnp.mean((ns - nt[:, :c_old]) ** 2, axis=1), weights)
     else:
         raise ValueError(f"unknown roi distillation type {dist!r}")
 
@@ -129,5 +146,5 @@ def roi_distillation_losses(
     # (distillation.py:204-215)
     sb = soften_bboxes[:, 1:, :].astype(jnp.float32)
     tb = target_bboxes[:, 1:c_old, :].astype(jnp.float32)
-    bbox_loss = jnp.mean(jnp.mean(jnp.sum((tb - sb) ** 2, axis=2), axis=1))
+    bbox_loss = _wmean(jnp.mean(jnp.sum((tb - sb) ** 2, axis=2), axis=1), weights)
     return cls_loss + bbox_loss

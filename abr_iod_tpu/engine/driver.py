@@ -74,6 +74,22 @@ def init_params(cfg, model, seed: Optional[int] = None):
     )
 
 
+def _missing_weight_fallback(fresh, why: str, logger):
+    """A configured-but-missing weight file is a recipe divergence (the run
+    would silently train from random init and wreck mAP), so it is an error
+    unless explicitly allowed (tests / synthetic runs set
+    ABR_IOD_ALLOW_RANDOM_INIT=1)."""
+    if os.environ.get("ABR_IOD_ALLOW_RANDOM_INIT") == "1":
+        if logger:
+            logger.warning(f"{why} — random init (ABR_IOD_ALLOW_RANDOM_INIT=1)")
+        return fresh
+    raise FileNotFoundError(
+        f"{why}. Refusing to silently train from random init; provide the "
+        "weights (ABR_IOD_WEIGHTS_DIR for catalog:// entries) or set "
+        "ABR_IOD_ALLOW_RANDOM_INIT=1 for synthetic/test runs."
+    )
+
+
 def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
     """Init + optional checkpoint load with head-growth alignment
     (reference: utils/model_serialization.py:10-91)."""
@@ -96,17 +112,12 @@ def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
                 path = local
                 break
         else:
-            if logger:
-                logger.warning(
-                    f"{path}: no local pretrained file under {wdir!r} — "
-                    "falling back to random init"
-                )
-            return fresh
+            return _missing_weight_fallback(
+                fresh, f"{path}: no local pretrained file under {wdir!r}", logger
+            )
 
     if not os.path.exists(path):
-        if logger:
-            logger.warning(f"weight file {path!r} not found — random init")
-        return fresh
+        return _missing_weight_fallback(fresh, f"weight file {path!r} not found", logger)
 
     if path.endswith((".pkl", ".pth", ".pt")):
         from ..utils.weight_converter import load_pretrained_backbone
@@ -238,8 +249,14 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
                      "iteration": it},
                 )
         params_final = jax.device_get(state.params)
+        opt_final = jax.device_get(state.opt_state)
         _log_memory(logger)
-    checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
+    # model_final keeps opt_state so the last_checkpoint pointer it writes is
+    # genuinely resumable (a re-run of a finished job restores iteration ==
+    # max_iter and no-ops instead of retraining from scratch)
+    checkpointer.save("model_final", {"params": params_final,
+                                      "opt_state": opt_final,
+                                      "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
     logger.info(f"training done in {time.time() - t0:.1f}s")
     return params_final
@@ -345,7 +362,10 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                      "iteration": it},
                 )
         params_final = jax.device_get(state.params)
-    checkpointer.save("model_final", {"params": params_final, "iteration": max_iter})
+        opt_final = jax.device_get(state.opt_state)
+    checkpointer.save("model_final", {"params": params_final,
+                                      "opt_state": opt_final,
+                                      "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
     logger.info(f"incremental training done in {time.time() - t0:.1f}s")
     return params_final

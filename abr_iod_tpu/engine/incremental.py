@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..distillation import losses as D
 from ..models.anchors import grid_anchors
-from ..models.proposals import select_proposals
+from ..models.proposals import select_proposals, effective_top_n
 from ..models.rpn import flatten_rpn_outputs
 from .train import Batch, TrainState, forward_detection_losses
 
@@ -54,25 +54,29 @@ def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -
     # objectness then take top-128" is NMS with max_output=128
     props = select_proposals(
         obj_f, reg_f, anchors, sizes,
-        pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TEST),
+        pre_nms_top_n=effective_top_n(cfg, train=False)[0],
         post_nms_top_n=topk,
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
     )
 
-    # random-keep `keep` of the top-`topk` (generalized_rcnn.py:141-155);
-    # NMS emits valid slots first, so if fewer than topk survive, wrap
-    # the draw onto the valid prefix (the reference samples from however
-    # many proposals exist, :147-151)
+    # random-keep `keep` of the top-`topk` WITHOUT replacement
+    # (generalized_rcnn.py:141-155 uses random.sample over however many
+    # proposals exist, :147-151).  NMS emits valid slots first; rank valid
+    # slots by random keys so the first `keep` picks are a uniform
+    # without-replacement sample of the valid prefix.  When fewer than
+    # `keep` survive, the tail picks land on invalid slots and carry
+    # valid=False — downstream distillation masks them out rather than
+    # duplicating proposals (which would over-weight them vs the reference).
     bsz = pixels.shape[0]
     n_valid = jnp.sum(props.valid.astype(jnp.int32), axis=1)  # [B]
 
-    def pick(k):
-        return jax.random.permutation(k, topk)[:keep]
+    def pick(k, nv_i):
+        r = jax.random.uniform(k, (topk,))
+        r = jnp.where(jnp.arange(topk) < nv_i, r, 2.0)  # invalid slots last
+        return jnp.argsort(r)[:keep]
 
-    sel = jax.vmap(pick)(jax.random.split(key, bsz))  # [B, keep]
-    nv = jnp.maximum(n_valid, 1)[:, None]
-    sel = jnp.where(sel < nv, sel, sel % nv)
+    sel = jax.vmap(pick)(jax.random.split(key, bsz), n_valid)  # [B, keep]
     boxes = jnp.take_along_axis(props.boxes, sel[..., None], axis=1)
     valid = jnp.take_along_axis(props.valid, sel, axis=1)
 
@@ -108,6 +112,7 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
     )
     bsz, keep = teacher.boxes.shape[:2]
     c_new = t_cls.shape[-1]
+    prop_valid = teacher.valid.reshape(bsz * keep)
 
     distill = jnp.zeros((), jnp.float32)
     alpha = float(cfg.DIST.ALPHA)
@@ -118,6 +123,7 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
             t_cls.reshape(bsz * keep, c_new),
             t_reg.reshape(bsz * keep, c_new, 4),
             dist=dist_type,
+            weights=prop_valid,
         )
 
     feat_mode = cfg.DIST.FEAT
@@ -132,6 +138,7 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
             roi_feats_student.reshape(bsz * keep, p, p, c),
             teacher.roi_features.reshape(bsz * keep, p, p, c),
             gamma=float(cfg.DIST.GAMMA),
+            weights=prop_valid,
         )
 
     if bool(cfg.DIST.RPN):

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.anchors import grid_anchors
-from ..models.proposals import select_proposals
+from ..models.proposals import select_proposals, effective_top_n
 from ..models.postprocess import postprocess_detections
 from ..models.rpn import flatten_rpn_outputs
 
@@ -31,8 +31,8 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
         obj_f, reg_f = flatten_rpn_outputs(objectness, box_deltas)
         props = select_proposals(
             obj_f, reg_f, anchors, sizes,
-            pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TEST),
-            post_nms_top_n=int(cfg.TPU.POST_NMS_TOP_N_TEST),
+            pre_nms_top_n=effective_top_n(cfg, train=False)[0],
+            post_nms_top_n=effective_top_n(cfg, train=False)[1],
             nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
             min_size=float(cfg.MODEL.RPN.MIN_SIZE),
         )

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..models import losses as L
 from ..models.anchors import grid_anchors, anchor_visibility
-from ..models.proposals import select_proposals, append_gt_proposals
+from ..models.proposals import select_proposals, append_gt_proposals, effective_top_n
 from ..models.rpn import flatten_rpn_outputs
 
 
@@ -72,8 +72,8 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         jax.lax.stop_gradient(reg_f),
         anchors,
         batch.sizes,
-        pre_nms_top_n=int(cfg.TPU.PRE_NMS_TOP_N_TRAIN),
-        post_nms_top_n=int(cfg.TPU.POST_NMS_TOP_N_TRAIN),
+        pre_nms_top_n=effective_top_n(cfg, train=True)[0],
+        post_nms_top_n=effective_top_n(cfg, train=True)[1],
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
     )

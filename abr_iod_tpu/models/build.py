@@ -18,6 +18,16 @@ def build_detection_model(cfg) -> FasterRCNN:
     num_anchors = len(tuple(cfg.MODEL.RPN.ANCHOR_SIZES)) * len(
         tuple(cfg.MODEL.RPN.ASPECT_RATIOS)
     )
+    bh = cfg.MODEL.ROI_BOX_HEAD
+    sampling_ratio = int(bh.POOLER_SAMPLING_RATIO)
+    if sampling_ratio <= 0:
+        # adaptive sampling (ratio=0 in torchvision-style RoIAlign) is
+        # data-dependent and incompatible with static TPU shapes — fail
+        # loudly instead of silently substituting a fixed grid
+        raise ValueError(
+            "POOLER_SAMPLING_RATIO=0 (adaptive) is unsupported; set an "
+            "explicit ratio (the reference recipe uses 2)"
+        )
     return FasterRCNN(
         num_classes=int(cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES),
         num_anchors=num_anchors,
@@ -34,4 +44,7 @@ def build_detection_model(cfg) -> FasterRCNN:
         use_pallas_roi_align=bool(cfg.TPU.get("USE_PALLAS_ROI_ALIGN", False)),
         scan_blocks=bool(cfg.TPU.get("SCAN_BLOCKS", False)),
         roi_chunk=int(cfg.TPU.get("ROI_CHUNK", 128)),
+        pooler_resolution=int(bh.POOLER_RESOLUTION),
+        pooler_scale=float(tuple(bh.POOLER_SCALES)[0]),
+        pooler_sampling_ratio=sampling_ratio,
     )

@@ -46,6 +46,10 @@ class FasterRCNN(nn.Module):
     use_pallas_roi_align: bool = False
     scan_blocks: bool = False
     roi_chunk: int = 128
+    # RoI pooler geometry (cfg.MODEL.ROI_BOX_HEAD.POOLER_*)
+    pooler_resolution: int = 7
+    pooler_scale: float = 1.0 / 16
+    pooler_sampling_ratio: int = 2
 
     def setup(self):
         self.backbone_net = ResNetC4(
@@ -61,6 +65,9 @@ class FasterRCNN(nn.Module):
         )
         self.box_head = RoiBoxHead(
             num_classes=self.num_classes,
+            pooler_resolution=self.pooler_resolution,
+            pooler_scale=self.pooler_scale,
+            pooler_sampling_ratio=self.pooler_sampling_ratio,
             res5_blocks=self.res5_blocks,
             res5_bottleneck=self.res5_bottleneck,
             res5_out=self.res5_out,

@@ -23,6 +23,33 @@ from ..structures import boxes as B
 from ..ops.nms import nms_padded
 
 
+def effective_top_n(cfg, train: bool):
+    """Effective (pre_nms, post_nms) proposal counts.
+
+    The recipe values live in MODEL.RPN.{PRE,POST}_NMS_TOP_N_* (reference
+    rpn/inference.py:150-163); TPU.{PRE,POST}_NMS_TOP_N_* act as static-shape
+    compile caps.  The smaller wins, and a capped recipe is logged loudly —
+    it changes proposal statistics vs the published configuration (raise the
+    TPU caps to restore exact parity at a compile/throughput cost; the
+    measured mAP-proxy delta is recorded in BASELINE.md).
+    """
+    import logging
+
+    mode = "TRAIN" if train else "TEST"
+    pre_ref = int(cfg.MODEL.RPN[f"PRE_NMS_TOP_N_{mode}"])
+    post_ref = int(cfg.MODEL.RPN[f"POST_NMS_TOP_N_{mode}"])
+    pre_cap = int(cfg.TPU[f"PRE_NMS_TOP_N_{mode}"])
+    post_cap = int(cfg.TPU[f"POST_NMS_TOP_N_{mode}"])
+    pre, post = min(pre_ref, pre_cap), min(post_ref, post_cap)
+    if (pre, post) != (pre_ref, post_ref):
+        logging.getLogger("abr_iod_tpu").warning(
+            f"RPN {mode} top-N capped for static shapes: pre {pre_ref}->{pre}, "
+            f"post {post_ref}->{post} (raise cfg.TPU.*_NMS_TOP_N_{mode} for "
+            "exact reference proposal statistics)"
+        )
+    return pre, post
+
+
 class Proposals(NamedTuple):
     boxes: jnp.ndarray  # [B, P, 4]
     scores: jnp.ndarray  # [B, P] objectness (sigmoid)

@@ -51,8 +51,13 @@ class Checkpointer:
         path = self._path(name)
         with open(path, "wb") as f:
             f.write(data)
-        with open(os.path.join(self.output_dir, "last_checkpoint"), "w") as f:
-            f.write(path)
+        if not trim:
+            # trimmed (params-only) saves must not become the resume target:
+            # they carry no opt_state/iteration, so a re-run would silently
+            # restart at iteration 0 (reference utils/checkpoint.py:50-52
+            # likewise only tags full saves)
+            with open(os.path.join(self.output_dir, "last_checkpoint"), "w") as f:
+                f.write(path)
         return path
 
     def has_checkpoint(self) -> bool:

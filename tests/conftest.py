@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests run synthetic data with no pretrained weights on disk; allow the
+# random-init fallback that production runs refuse (engine/driver.py)
+os.environ["ABR_IOD_ALLOW_RANDOM_INIT"] = "1"
+# persistent compile cache: e2e/CLI tests are compile-dominated on this
+# one-core host — cached XLA programs cut the suite from ~13min to minutes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 
 import jax  # noqa: E402
 

@@ -147,3 +147,53 @@ def test_reference_yaml_files_load_unchanged():
             assert cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES >= 2
             loaded += 1
     assert loaded >= 20  # 9 tasks x ~3 files + JT
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/configs/voc"),
+    reason="reference tree not mounted",
+)
+def test_shipped_configs_chain_weights_like_reference():
+    """Generated WEIGHT/SOURCE_WEIGHT pointers must reproduce the reference's
+    cross-split chaining (10-1/10-2/10-5 start from the 10-10 first task,
+    15-1 from 15-5, 5-5 from 5-15 — reference configs/voc/<task>/*_Target_model.yaml:3-4),
+    modulo the .pth → .msgpack serialization format."""
+    ref = "/root/reference/configs/voc"
+    ours = os.path.join(REPO, "configs", "voc")
+    checked = 0
+    for task in os.listdir(ref):
+        tdir = os.path.join(ref, task)
+        if not os.path.isdir(tdir):
+            continue
+        for name in os.listdir(tdir):
+            if "Target_model" not in name or not name.endswith(".yaml"):
+                continue
+            with open(os.path.join(tdir, name)) as f:
+                rm = yaml.safe_load(f)["MODEL"]
+            with open(os.path.join(ours, task, name)) as f:
+                om = yaml.safe_load(f)["MODEL"]
+            for key in ("WEIGHT", "SOURCE_WEIGHT"):
+                want = rm[key].replace(".pth", ".msgpack")
+                assert om[key] == want, f"{task}/{name} {key}: {om[key]} != {want}"
+            checked += 1
+    assert checked >= 18  # 9 tasks x 2 incremental variants
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/configs/voc"),
+    reason="reference tree not mounted",
+)
+def test_shipped_first_task_configs_use_pretrained_backbone():
+    """Base-task and JT configs must start from the ImageNet backbone like the
+    reference (configs/voc/*/e2e_faster_rcnn_R_50_C4_4x.yaml:3) — training the
+    base model from random init wrecks base-task mAP."""
+    ours = os.path.join(REPO, "configs", "voc")
+    paths = [os.path.join(ours, "e2e_faster_rcnn_R_50_C4_4x_JT.yaml")] + [
+        os.path.join(ours, t, "e2e_faster_rcnn_R_50_C4_4x.yaml")
+        for t in os.listdir(ours)
+        if os.path.isdir(os.path.join(ours, t))
+    ]
+    for p in paths:
+        with open(p) as f:
+            m = yaml.safe_load(f)["MODEL"]
+        assert m["WEIGHT"] == "catalog://ImageNetPretrained/MSRA/R-50", p

@@ -86,6 +86,26 @@ def test_loader_batches(voc_root):
         assert (bx[:, 2] <= w + 1e-3).all() and (bx[:, 3] <= h + 1e-3).all()
 
 
+def test_loader_resume_fast_forwards_stream(voc_root):
+    """A resumed loader must continue the index stream where the checkpoint
+    left off, not re-consume the first start_iter batches (reference
+    IterationBasedBatchSampler skips to start_iter)."""
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 160)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.TPU.MAX_GT = 8
+    src = VOCDataSource(voc_root, "trainval", "train_new", (), VOC_CLASSES[:6], ())
+
+    fresh = DetectionLoader(src, cfg, batch_size=4, is_train=True, seed=3)
+    seq = [idx for _, idx in zip(range(5 * 4), fresh._indices())]
+
+    resumed = DetectionLoader(src, cfg, batch_size=4, is_train=True, seed=3)
+    resumed.start_iter = 2  # as engine/driver.py sets it after restore
+    tail = [idx for _, idx in zip(range(3 * 4), resumed._indices())]
+    assert tail == seq[2 * 4:]
+
+
 def test_eval_map_perfect_predictions():
     gt = [
         {

@@ -47,12 +47,18 @@ def test_checkpointer_roundtrip(tmp_path):
     model = tiny_model()
     params = _init_params(model)
     ck = Checkpointer(str(tmp_path))
-    ck.save("model_trimmed", {"params": params, "iteration": 7}, trim=True)
-    restored = ck.load({"params": params})
+    path = ck.save("model_trimmed", {"params": params, "iteration": 7}, trim=True)
+    restored = ck.load({"params": params}, path=path)
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["params"]["rpn"]["conv"]["kernel"]),
         np.asarray(params["params"]["rpn"]["conv"]["kernel"]),
     )
+    # trimmed (params-only) saves must NOT become the resume pointer —
+    # they carry no opt_state/iteration, so resuming from one silently
+    # restarts a finished job at iteration 0 (reference utils/checkpoint.py:50-52)
+    assert not ck.has_checkpoint()
+    full = ck.save("model_last", {"params": params, "iteration": 7})
+    assert ck.last_checkpoint_path() == full
 
 
 def test_soften_proposals_shapes(rng):

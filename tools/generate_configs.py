@@ -45,6 +45,38 @@ FALLBACK = {
     "jt": (0.005, (7500,), 20000, 2500),
 }
 
+# ImageNet backbone for base-task / JT training (reference
+# configs/voc/*/e2e_faster_rcnn_R_50_C4_4x.yaml:3); load_params resolves
+# catalog:// to a local R-50.pkl/resnet50.pth under ABR_IOD_WEIGHTS_DIR.
+PRETRAINED = "catalog://ImageNetPretrained/MSRA/R-50"
+
+# Which split's FIRST-TASK artifacts each incremental run starts from.
+# Multi-step splits chain off the matching single-step base (reference
+# configs/voc/10-1/e2e_faster_rcnn_R_50_C4_4x_RB_Target_model.yaml:3-4
+# points at output/10-10/...; likewise 10-2,10-5→10-10, 15-1→15-5, 5-5→5-15).
+WEIGHT_BASE = {
+    "10-1": "10-10",
+    "10-2": "10-10",
+    "10-5": "10-10",
+    "15-1": "15-5",
+    "5-5": "5-15",
+}
+
+
+def ref_weights(path):
+    """Read MODEL.WEIGHT/SOURCE_WEIGHT from a reference YAML (translated
+    .pth→.msgpack) so the generated tree chains splits exactly as the
+    reference does, quirks included."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = yaml.safe_load(f).get("MODEL", {})
+    w, sw = m.get("WEIGHT"), m.get("SOURCE_WEIGHT")
+    if not w or not sw:
+        return None
+    fix = lambda p: p[: -len(".pth")] + ".msgpack" if p.endswith(".pth") else p
+    return fix(w), fix(sw)
+
 
 def ref_solver(path, kind):
     if os.path.exists(path):
@@ -117,7 +149,7 @@ def main():
 
         # first-task config
         cfg = {
-            "MODEL": base_model(n_first + 1, [], first, rest),
+            "MODEL": dict(base_model(n_first + 1, [], first, rest), WEIGHT=PRETRAINED),
             "DATASETS": {"TRAIN": ["voc_rb_2007_trainval"], "TEST": ["voc_2007_test"]},
             "SOLVER": ref_solver(
                 os.path.join(rdir, "e2e_faster_rcnn_R_50_C4_4x.yaml"), "first"
@@ -132,11 +164,18 @@ def main():
             ("_Target_model", "voc_2007_trainval"),
             ("_RB_Target_model", "voc_rb_2007_trainval"),
         ):
+            base_task = WEIGHT_BASE.get(task, task)
+            weights = ref_weights(
+                os.path.join(rdir, f"e2e_faster_rcnn_R_50_C4_4x{suffix}.yaml")
+            ) or (
+                f"output/{base_task}/LR005_BS4_FILOD/model_trimmed.msgpack",
+                f"output/{base_task}/LR005_BS4_FILOD/model_final.msgpack",
+            )
             cfg = {
                 "MODEL": dict(
                     base_model(21, first, rest, []),
-                    WEIGHT=f"output/{task}/LR005_BS4_FILOD/model_trimmed.msgpack",
-                    SOURCE_WEIGHT=f"output/{task}/LR005_BS4_FILOD/model_final.msgpack",
+                    WEIGHT=weights[0],
+                    SOURCE_WEIGHT=weights[1],
                 ),
                 "DATASETS": {"TRAIN": [train_set], "TEST": ["voc_2007_test"]},
                 "SOLVER": ref_solver(
@@ -153,7 +192,7 @@ def main():
 
     # joint training config
     jt = {
-        "MODEL": base_model(21, [], VOC_CLASSES, []),
+        "MODEL": dict(base_model(21, [], VOC_CLASSES, []), WEIGHT=PRETRAINED),
         "DATASETS": {"TRAIN": ["voc_rb_2007_trainval"], "TEST": ["voc_2007_test"]},
         "SOLVER": ref_solver(
             os.path.join(REF, "e2e_faster_rcnn_R_50_C4_4x_JT.yaml"), "jt"
