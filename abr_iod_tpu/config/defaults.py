@@ -173,6 +173,10 @@ _C.TPU = CN()
 # padded canvas for compiled train/eval programs (multiples of 32)
 _C.TPU.CANVAS_TRAIN = (832, 1344)
 _C.TPU.CANVAS_TEST = (832, 1344)
+# portrait images land on the TRANSPOSED canvas (1344x832) so they keep the
+# full shortest-side-800 resolution; batches are orientation-grouped and
+# each orientation gets its own cached executable (data/loader.py)
+_C.TPU.DUAL_ORIENTATION = True
 _C.TPU.MAX_GT = 64  # padded ground-truth slots per image
 # static pre-NMS top-k used by the compiled proposal selector; the
 # reference's 12000 is dynamic-shape-friendly on GPU but wasteful on TPU

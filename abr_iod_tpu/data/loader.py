@@ -5,9 +5,14 @@ Replaces the reference's torch DataLoader + BatchCollator + samplers
   * iteration-based training — an infinite epoch-shuffled stream
     (IterationBasedBatchSampler equivalent)
   * per-process sharding by jax.process_index (DistributedSampler
-    equivalent; single host here but the hook is in place)
-  * instead of aspect-ratio grouping + ragged padding, every image is
-    resized into one static canvas (see transforms.py)
+    equivalent), applied WITHIN orientation-grouped global batches so
+    every process steps the same compiled program each iteration
+  * instead of aspect-ratio grouping + ragged padding
+    (grouped_batch_sampler.py:9-113), every image lands on one of TWO
+    static canvases — the configured one and its transpose — chosen by
+    image orientation, so portrait images keep the full shortest-side
+    resolution (see transforms.py); jit re-traces per shape, giving one
+    cached executable per orientation
   * a background thread keeps one batch ahead (the C++ data plane in
     csrc/ is plugged in here when built)
 """
@@ -16,7 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -47,6 +52,7 @@ class DetectionLoader:
         self.is_train = is_train
         self.max_gt = max_gt or int(cfg.TPU.MAX_GT)
         self.canvas = tuple(canvas or (cfg.TPU.CANVAS_TRAIN if is_train else cfg.TPU.CANVAS_TEST))
+        self.dual_orientation = bool(cfg.TPU.get("DUAL_ORIENTATION", True))
         self.min_size = int(cfg.INPUT.MIN_SIZE_TRAIN[0] if is_train else cfg.INPUT.MIN_SIZE_TEST)
         self.max_size = int(cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST)
         self.flip_prob = (
@@ -57,32 +63,82 @@ class DetectionLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.start_iter = start_iter
+        self._portrait_cache: dict = {}
 
     def __len__(self):
         return len(self.source)
 
+    # ---------------------------------------------------------- orientation
+    def _is_portrait(self, index: int) -> bool:
+        if not self.dual_orientation or self.canvas[0] == self.canvas[1]:
+            return False
+        p = self._portrait_cache.get(index)
+        if p is None:
+            rec = self.source.annotation(index)
+            p = rec["height"] > rec["width"]
+            self._portrait_cache[index] = p
+        return p
+
+    def canvas_for(self, index: int) -> Tuple[int, int]:
+        """The static canvas this image lands on: the configured canvas, or
+        its transpose when the image's orientation is the opposite (keeps a
+        500(w)x750(h) portrait image at shortest-side 800 instead of capping
+        it to fit the landscape canvas)."""
+        ch, cw = self.canvas
+        if self._is_portrait(index) != (ch > cw):
+            return (cw, ch)
+        return (ch, cw)
+
+    # ---------------------------------------------------------- index stream
     def _indices(self) -> Iterator[int]:
+        """The GLOBAL epoch-shuffled index stream (identical on every
+        process — sharding happens per grouped batch in _index_batches)."""
         n = len(self.source)
         epoch = 0
-        # resume fast-forward: skip the batches already consumed before the
-        # checkpoint so a resumed run continues the stream instead of
-        # re-reading the first start_iter batches (reference
-        # IterationBasedBatchSampler, data/samplers/iteration_based_batch_sampler.py)
-        skip = self.start_iter * self.batch_size if self.is_train else 0
         while True:
             order = np.arange(n)
             if self.is_train:
                 np.random.RandomState(self.seed + epoch).shuffle(order)
-            order = order[self.shard_index :: self.num_shards]
-            if skip >= len(order):
-                skip -= len(order)
-            else:
-                yield from order[skip:]
-                skip = 0
+            yield from order
             epoch += 1
             if not self.is_train:
                 return
 
+    def _index_batches(self) -> Iterator[List[int]]:
+        """Yield this shard's slice of orientation-grouped GLOBAL batches.
+
+        Grouping happens on the global stream before sharding so all
+        processes agree on each iteration's canvas shape — under SPMD every
+        process must execute the same compiled program (the reference's
+        DistributedSampler + GroupedBatchSampler compose the other way
+        around because DDP ranks run independent programs).
+
+        Resume skips the first start_iter grouped batches (reference
+        IterationBasedBatchSampler skips to start_iter).
+        """
+        gbs = self.batch_size * self.num_shards
+        skip = self.start_iter if self.is_train else 0
+        buckets: dict = {}
+        for idx in self._indices():
+            key = self._is_portrait(idx)
+            buckets.setdefault(key, []).append(idx)
+            if len(buckets[key]) == gbs:
+                batch = buckets.pop(key)
+                if skip > 0:
+                    skip -= 1
+                    continue
+                yield batch[self.shard_index :: self.num_shards]
+        # finite (eval) stream: flush remainders, padded to the global batch
+        # size by repeating the last index so every shard sees an equal count
+        for batch in buckets.values():
+            if not batch:
+                continue
+            self._last_flush_real = len(batch)
+            while len(batch) < gbs:
+                batch.append(batch[-1])
+            yield batch[self.shard_index :: self.num_shards]
+
+    # ---------------------------------------------------------- loading
     def _load_one(self, index: int, rng: np.random.RandomState):
         record = self.source.annotation(index)
         image = self.source.load_image(index)
@@ -94,7 +150,8 @@ class DetectionLoader:
             hue=float(self.cfg.INPUT.HUE),
         ) if self.is_train else image.astype(np.float32)
         canvas, size_hw, boxes = T.resize_to_canvas(
-            image, record["boxes"], self.min_size, self.max_size, self.canvas
+            image, record["boxes"], self.min_size, self.max_size,
+            self.canvas_for(index),
         )
         if self.flip_prob > 0 and rng.uniform() < self.flip_prob:
             canvas, boxes = T.hflip(canvas, size_hw, boxes)
@@ -107,23 +164,10 @@ class DetectionLoader:
 
     def batches(self, max_batches: Optional[int] = None) -> Iterator[Batch]:
         """Yield Batch pytrees (numpy); records side-channel not included."""
-        it = self._indices()
         rng = np.random.RandomState(self.seed + 7 + self.start_iter)
         count = 0
-        done = False
-        while not done:
-            items = []
-            for _ in range(self.batch_size):
-                try:
-                    idx = next(it)
-                except StopIteration:
-                    done = True
-                    break
-                items.append(self._load_one(idx, rng)[:5])
-            if not items:
-                return
-            while len(items) < self.batch_size:  # pad final eval batch
-                items.append(items[-1])
+        for idxs in self._index_batches():
+            items = [self._load_one(i, rng)[:5] for i in idxs]
             pixels, sizes, boxes, labels, masks = map(np.stack, zip(*items))
             yield Batch(pixels, sizes, boxes, labels, masks)
             count += 1
@@ -155,12 +199,10 @@ class DetectionLoader:
         orig_sizes, gt_boxes, gt_labels, gt_mask) with NO normalization —
         on-device fusion blends raw pixels first (see abr_fusion)."""
         assert not self.normalize, "construct with normalize=False for raw batches"
-        it = self._indices()
         rng = np.random.RandomState(self.seed + 7 + self.start_iter)
-        while True:
+        for idxs in self._index_batches():
             items = []
-            for _ in range(self.batch_size):
-                idx = next(it)
+            for idx in idxs:
                 canvas, size_hw, pb, pl, pm, rec = self._load_one(idx, rng)
                 orig = np.array([rec["height"], rec["width"]], np.int32)
                 items.append((canvas, size_hw, orig, pb, pl, pm))
@@ -168,15 +210,22 @@ class DetectionLoader:
 
     def eval_batches(self):
         """Eval iteration: yields (Batch, records, n_valid) keeping the
-        per-image metadata needed by the evaluator."""
+        per-image metadata needed by the evaluator.  Batches are
+        orientation-grouped like training; each group's final batch is
+        padded by repetition, with n_valid marking the real prefix."""
         rng = np.random.RandomState(0)
-        n = len(self.source)
-        for start in range(0, n, self.batch_size):
-            idxs = list(range(start, min(start + self.batch_size, n)))
+        gbs = self.batch_size * self.num_shards
+        self._last_flush_real = gbs
+        for idxs in self._index_batches():
+            # real items are a prefix: padding repeats the trailing index,
+            # and round-robin sharding preserves prefix order per shard
+            real_global = self._last_flush_real
+            self._last_flush_real = gbs
+            n_valid = sum(
+                1 for p in range(self.shard_index, gbs, self.num_shards)
+                if p < real_global
+            )
             loaded = [self._load_one(i, rng) for i in idxs]
-            n_valid = len(loaded)
-            while len(loaded) < self.batch_size:
-                loaded.append(loaded[-1])
             pixels, sizes, boxes, labels, masks = map(
                 np.stack, zip(*[l[:5] for l in loaded])
             )

@@ -33,16 +33,20 @@ def make_synthetic_voc(
     image_hw=(240, 320),
     max_objects: int = 4,
     seed: int = 0,
+    mixed_orientations: bool = False,
 ):
-    """Create a synthetic VOC tree under `root` covering every split."""
+    """Create a synthetic VOC tree under `root` covering every split.
+
+    mixed_orientations=True transposes every third image so loaders'
+    dual-orientation grouping has portrait inputs to exercise (real VOC
+    is a landscape/portrait mix).
+    """
     rng = np.random.RandomState(seed)
     from PIL import Image
 
     os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
     os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
     os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
-
-    h, w = image_hw
     per_split_ids = {s: [] for s in splits}
     membership = {s: {c: {} for c in classes} for s in splits}
 
@@ -50,8 +54,11 @@ def make_synthetic_voc(
     for split in splits:
         for _ in range(n_images):
             img_id = f"{img_counter:06d}"
-            img_counter += 1
             per_split_ids[split].append(img_id)
+            h, w = image_hw
+            if mixed_orientations and img_counter % 3 == 2:
+                h, w = w, h
+            img_counter += 1
 
             img = rng.randint(0, 60, size=(h, w, 3)).astype(np.uint8)
             n_obj = rng.randint(1, max_objects + 1)

@@ -49,6 +49,7 @@ def make_data_source(cfg, dataset_name: str, mode: str) -> VOCDataSource:
                     int(os.environ.get("ABR_IOD_SYNTH_H", "240")),
                     int(os.environ.get("ABR_IOD_SYNTH_W", "320")),
                 ),
+                mixed_orientations=os.environ.get("ABR_IOD_SYNTH_MIXED") == "1",
             )
         spec = {"split": "trainval" if mode != "test_all" else "test"}
     return VOCDataSource(

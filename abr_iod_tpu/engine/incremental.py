@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distillation import losses as D
-from ..models.anchors import grid_anchors
+from ..models.anchors import anchors_for_shape, grid_anchors
 from ..models.proposals import select_proposals, effective_top_n
 from ..models.rpn import flatten_rpn_outputs
 from .train import Batch, TrainState, forward_detection_losses
@@ -164,21 +164,21 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
 
     Returns step(state, teacher_params, batch) → (state, metrics).
     """
-    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
-    anchors = jnp.asarray(
-        grid_anchors(
-            feat_h, feat_w, stride,
-            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
-        )
-    )
-
     def loss_fn(params, teacher, batch, key):
+        anchors = anchors_for_shape(
+            cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
+        )
         return incremental_losses(
             model_student, params, teacher, batch, key, cfg, anchors, n_old_classes
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, teacher_params, batch: Batch):
+        # anchors from the traced batch shape: one cached executable per
+        # canvas orientation (see make_train_step)
+        anchors = anchors_for_shape(
+            cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
+        )
         key = jax.random.fold_in(jax.random.PRNGKey(int(cfg.SEED)), state.step)
         k_teacher, k_student = jax.random.split(key)
         teacher = generate_soften_proposals(
@@ -195,4 +195,5 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
         )
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
     return train_step, anchors

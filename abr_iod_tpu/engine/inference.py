@@ -9,23 +9,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.anchors import grid_anchors
+from ..models.anchors import anchors_for_shape
 from ..models.proposals import select_proposals, effective_top_n
 from ..models.postprocess import postprocess_detections
 from ..models.rpn import flatten_rpn_outputs
 
 
 def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
-    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
-    anchors = jnp.asarray(
-        grid_anchors(
-            feat_h, feat_w, stride,
-            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
-        )
-    )
+    """Anchors come from the traced pixel shape, so the same eval step
+    serves landscape and transposed-portrait canvases (two cached
+    executables; see make_train_step)."""
 
     @jax.jit
     def eval_step(params, pixels, sizes):
+        anchors = anchors_for_shape(
+            cfg, pixels.shape[1], pixels.shape[2], stride
+        )
         features, _ = model.apply(params, pixels, method="backbone")
         objectness, box_deltas = model.apply(params, features, method="rpn")
         obj_f, reg_f = flatten_rpn_outputs(objectness, box_deltas)
@@ -47,4 +46,5 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             per_class_topk=int(cfg.TPU.EVAL_NMS_PER_CLASS_TOPK),
         )
 
+    anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
     return eval_step, anchors

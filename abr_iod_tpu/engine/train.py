@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import losses as L
-from ..models.anchors import grid_anchors, anchor_visibility
+from ..models.anchors import anchors_for_shape, anchor_visibility
 from ..models.proposals import select_proposals, append_gt_proposals, effective_top_n
 from ..models.rpn import flatten_rpn_outputs
 
@@ -156,16 +156,19 @@ def forward_with_external_proposals(model, params, batch: Batch, proposals_boxes
 
 
 def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
-    """Build the jitted first-task train step."""
-    feat_h, feat_w = canvas_hw[0] // stride, canvas_hw[1] // stride
-    anchors = jnp.asarray(
-        grid_anchors(
-            feat_h, feat_w, stride,
-            tuple(cfg.MODEL.RPN.ANCHOR_SIZES), tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
-        )
-    )
+    """Build the jitted first-task train step.
+
+    Anchors are derived from the traced batch shape (constant-folded per
+    compiled program), so one step function serves both the landscape and
+    the transposed portrait canvas — jit re-traces per input shape, giving
+    two cached executables (the TPU analogue of the reference's
+    aspect-ratio-grouped ragged batches, grouped_batch_sampler.py:9-113).
+    """
 
     def loss_fn(params, batch, key):
+        anchors = anchors_for_shape(
+            cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
+        )
         total, metrics, _ = forward_detection_losses(
             model, params, batch, key, cfg, anchors
         )
@@ -183,4 +186,5 @@ def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
         )
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
     return train_step, anchors

@@ -81,6 +81,27 @@ def grid_anchors(
     return (shifts + cell[None]).reshape(-1, 4)
 
 
+@functools.lru_cache(maxsize=32)
+def _grid_anchors_cached(feat_h, feat_w, stride, sizes, aspect_ratios):
+    return grid_anchors(feat_h, feat_w, stride, sizes, aspect_ratios)
+
+
+def anchors_for_shape(cfg, canvas_h: int, canvas_w: int, stride: int = 16):
+    """Anchors for a (possibly transposed) static canvas, computed at trace
+    time from the batch's pixel shape — each orientation's compiled program
+    gets its own constant-folded anchor grid (dual-orientation canvases,
+    data/loader.py)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        _grid_anchors_cached(
+            canvas_h // stride, canvas_w // stride, stride,
+            tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+            tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        )
+    )
+
+
 def anchor_visibility(anchors: np.ndarray, image_h, image_w, straddle_thresh: float = 0):
     """Straddle visibility flags (reference: anchor_generator.py:97-111).
 

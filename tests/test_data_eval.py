@@ -98,12 +98,12 @@ def test_loader_resume_fast_forwards_stream(voc_root):
     src = VOCDataSource(voc_root, "trainval", "train_new", (), VOC_CLASSES[:6], ())
 
     fresh = DetectionLoader(src, cfg, batch_size=4, is_train=True, seed=3)
-    seq = [idx for _, idx in zip(range(5 * 4), fresh._indices())]
+    seq = [b for _, b in zip(range(5), fresh._index_batches())]
 
     resumed = DetectionLoader(src, cfg, batch_size=4, is_train=True, seed=3)
     resumed.start_iter = 2  # as engine/driver.py sets it after restore
-    tail = [idx for _, idx in zip(range(3 * 4), resumed._indices())]
-    assert tail == seq[2 * 4:]
+    tail = [b for _, b in zip(range(3), resumed._index_batches())]
+    assert [list(b) for b in tail] == [list(b) for b in seq[2:]]
 
 
 def test_eval_map_perfect_predictions():
