@@ -10,11 +10,17 @@ from .detector import FasterRCNN
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 
-def build_detection_model(cfg) -> FasterRCNN:
+def build_detection_model(cfg):
     if cfg.MODEL.META_ARCHITECTURE != "GeneralizedRCNN":
         raise ValueError(
             f"unknown META_ARCHITECTURE {cfg.MODEL.META_ARCHITECTURE!r}"
         )
+    if bool(cfg.MODEL.RETINANET_ON):
+        # RETINANET_ON swaps the RPN+RoI stages for the single-stage
+        # RetinaNet module (reference rpn/rpn.py build_rpn:157-160)
+        from .retinanet import build_retinanet
+
+        return build_retinanet(cfg)
     num_anchors = len(tuple(cfg.MODEL.RPN.ANCHOR_SIZES)) * len(
         tuple(cfg.MODEL.RPN.ASPECT_RATIOS)
     )

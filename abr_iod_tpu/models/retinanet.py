@@ -5,8 +5,11 @@ ABR configs; kept for model-family completeness).
 Head: NUM_CONVS=4 shared conv towers → A*(num_classes-1) cls logits with
 prior-prob bias init (-log((1-p)/p), p=.01) + A*4 box deltas per FPN
 level.  Loss: sigmoid focal (γ=2, α=.25) over anchors matched at .5/.4
-with low-quality recovery, smooth-L1(β=.11) on positives.  Inference:
-per-level score threshold + top-k → decode → per-class NMS(.4).
+with low-quality recovery, smooth-L1(β=.11) on positives.  Inference
+(``retinanet_postprocess``): per-level score threshold (.05) + top-1000
+over (anchor, class) candidates → decode(10,10,5,5) → clip → cross-level
+per-class NMS(.4) → top-100 over all classes (reference
+retinanet/inference.py:14-194), all static-shape.
 """
 
 from __future__ import annotations
@@ -123,3 +126,165 @@ def retinanet_loss(cls_logits, box_reg, anchors, gt_boxes, gt_labels, gt_mask,
 
     cls_l, reg_l = jax.vmap(one)(cls_logits, box_reg, gt_boxes, gt_labels, gt_mask)
     return jnp.mean(cls_l), jnp.mean(reg_l)
+
+
+def _retinanet_postprocess_single(
+    scores_per_level,  # list of [N_l, C-1] sigmoid scores
+    reg_per_level,  # list of [N_l, 4]
+    anchors_per_level,  # list of [N_l, 4]
+    size_hw,
+    pre_nms_thresh: float,
+    pre_nms_top_n: int,
+    nms_thresh: float,
+    detections_per_img: int,
+):
+    from ..ops.nms import nms_padded
+
+    cand_boxes, cand_scores, cand_labels, cand_valid = [], [], [], []
+    for scores, reg, anchors in zip(scores_per_level, reg_per_level,
+                                    anchors_per_level):
+        n_l, c_m1 = scores.shape
+        flat = scores.reshape(-1)
+        # candidates are strictly > thresh (inference.py:96); masking
+        # non-candidates to -1 makes top-k pick exactly min(count, top_n)
+        masked = jnp.where(flat > pre_nms_thresh, flat, -1.0)
+        k = min(pre_nms_top_n, flat.shape[0])
+        top_s, top_i = jax.lax.top_k(masked, k)
+        a_idx = top_i // c_m1
+        cls = top_i % c_m1 + 1  # 1-based labels (inference.py:118)
+        boxes = B.decode_boxes(
+            reg[a_idx].astype(jnp.float32), anchors[a_idx],
+            weights=(10.0, 10.0, 5.0, 5.0),
+        )
+        boxes = B.clip_boxes_dynamic(boxes, size_hw)
+        cand_boxes.append(boxes)
+        cand_scores.append(top_s)
+        cand_labels.append(cls)
+        cand_valid.append(top_s > pre_nms_thresh)
+
+    boxes = jnp.concatenate(cand_boxes, axis=0)
+    scores = jnp.concatenate(cand_scores, axis=0)
+    labels = jnp.concatenate(cand_labels, axis=0).astype(jnp.int32)
+    valid = jnp.concatenate(cand_valid, axis=0)
+
+    # per-class NMS via the class-offset trick: shifting each class's boxes
+    # by a disjoint coordinate block makes one NMS pass exactly equivalent
+    # to per-class NMS (select_over_all_levels, inference.py:132-160), and
+    # the NMS emits survivors in descending score order, so its first
+    # `detections_per_img` ARE the reference's cross-class score cap.
+    span = jnp.maximum(size_hw[0], size_hw[1]).astype(jnp.float32) + 2.0
+    offset = labels.astype(jnp.float32)[:, None] * span
+    keep_idx, keep_valid = nms_padded(
+        boxes + offset, scores, valid, iou_threshold=nms_thresh,
+        max_output=detections_per_img,
+    )
+    return boxes[keep_idx], scores[keep_idx], labels[keep_idx], keep_valid
+
+
+def retinanet_postprocess(
+    logits,  # list per level: [B, h, w, A*(C-1)]
+    bbox_reg,  # list per level: [B, h, w, A*4]
+    anchors_per_level,  # list per level: [N_l, 4]
+    sizes_hw,  # [B, 2]
+    num_classes: int,
+    pre_nms_thresh: float = 0.05,
+    pre_nms_top_n: int = 1000,
+    nms_thresh: float = 0.4,
+    detections_per_img: int = 100,
+):
+    """Static-shape RetinaNet inference (reference retinanet/inference.py:
+    14-194; defaults from config RETINANET.INFERENCE_TH/.PRE_NMS_TOP_N/
+    .NMS_TH + TEST.DETECTIONS_PER_IMG).  Returns a Detections pytree like
+    postprocess_detections."""
+    from .postprocess import Detections
+
+    c_m1 = num_classes - 1
+    b = sizes_hw.shape[0]
+    scores_pl, reg_pl = [], []
+    for l, r in zip(logits, bbox_reg):
+        fl, fb = flatten_retinanet_outputs([l], [r], c_m1)
+        scores_pl.append(jax.nn.sigmoid(fl.astype(jnp.float32)))
+        reg_pl.append(fb)
+
+    def one(i):
+        return _retinanet_postprocess_single(
+            [s[i] for s in scores_pl], [r[i] for r in reg_pl],
+            anchors_per_level, sizes_hw[i],
+            pre_nms_thresh=pre_nms_thresh, pre_nms_top_n=pre_nms_top_n,
+            nms_thresh=nms_thresh, detections_per_img=detections_per_img,
+        )
+
+    boxes, scores, labels, valid = jax.vmap(one)(jnp.arange(b))
+    return Detections(boxes, scores, labels, valid)
+
+
+class RetinaNetDetector(nn.Module):
+    """Single-stage detector: ResNet-FPN pyramid → shared RetinaNet head
+    (reference modeling/rpn/retinanet/retinanet.py RetinaNetModule wrapped
+    by GeneralizedRCNN with RETINANET_ON; the roi_heads stage is empty).
+
+    Methods mirror FasterRCNN's apply surface where it makes sense:
+    __call__ returns per-level (logits, bbox_reg); ``pyramid`` exposes the
+    FPN features.
+    """
+
+    num_classes: int
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    scales_per_octave: int = 3
+    num_convs: int = 4
+    channels: int = 256
+    prior_prob: float = 0.01
+    backbone_stages: tuple = (3, 4, 6, 3)
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .backbone import ResNetFPNBackbone
+
+        self.backbone_net = ResNetFPNBackbone(
+            stages=self.backbone_stages,
+            width_per_group=self.width_per_group,
+            res2_out_channels=self.res2_out_channels,
+            fpn_out_channels=self.channels,
+            top_block="p6p7",  # P6/P7 convs on C5 (USE_C5, reference fpn.py:80-99)
+            dtype=self.dtype,
+            name="backbone",
+        )
+        self.head = RetinaNetHead(
+            num_classes=self.num_classes,
+            num_anchors=len(self.anchor_ratios) * self.scales_per_octave,
+            num_convs=self.num_convs,
+            channels=self.channels,
+            prior_prob=self.prior_prob,
+            dtype=self.dtype,
+            name="head",
+        )
+
+    def pyramid(self, pixels):
+        feats, _ = self.backbone_net(pixels)
+        # RetinaNet uses P3..P7 (strides 8..128): drop P2 from the FPN's
+        # [P2, P3, P4, P5, P6, P7]
+        return feats[1:]
+
+    def __call__(self, pixels):
+        feats = self.pyramid(pixels)
+        return self.head(feats)
+
+
+def build_retinanet(cfg):
+    r = cfg.MODEL.RETINANET
+    stages = tuple(cfg.TPU.get("BACKBONE_STAGES", (3, 4, 6, 3)))
+    if len(stages) == 3:  # C4 configs list 3 stages; FPN needs C2..C5
+        stages = stages + (stages[-1],)
+    return RetinaNetDetector(
+        num_classes=int(r.NUM_CLASSES),
+        anchor_ratios=tuple(r.ASPECT_RATIOS),
+        scales_per_octave=int(r.SCALES_PER_OCTAVE),
+        num_convs=int(r.NUM_CONVS),
+        channels=int(cfg.TPU.get("RETINANET_CHANNELS", 256)),
+        prior_prob=float(r.PRIOR_PROB),
+        backbone_stages=stages,
+        width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
+        res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
+    )
