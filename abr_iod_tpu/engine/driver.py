@@ -198,7 +198,25 @@ def _restore_or_init_state(checkpointer, tx, params, logger):
     return TrainState(params, opt_state, jnp.asarray(start_iter, jnp.int32)), start_iter
 
 
+def _shard_kwargs(batch_size: int):
+    """Per-process loader sharding (reference: make_data_loader's
+    DistributedSampler + images_per_gpu = IMS_PER_BATCH // num_gpus,
+    data/build.py:109-169).  IMS_PER_BATCH is the GLOBAL batch; each
+    process loads its slice of every orientation-grouped global batch."""
+    n = jax.process_count()
+    if batch_size % n != 0:
+        raise ValueError(
+            f"IMS_PER_BATCH={batch_size} must divide over {n} processes"
+        )
+    return dict(
+        batch_size=batch_size // n,
+        num_shards=n,
+        shard_index=jax.process_index(),
+    )
+
+
 # --------------------------------------------------------------- training
+
 def run_first_task_training(cfg, logger=None, max_iter_override=None):
     """First-task / joint training (tools/train_first_step.py:35-116)."""
     logger = logger or setup_logger("abr_iod_tpu.first", cfg.OUTPUT_DIR)
@@ -213,8 +231,8 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
 
     source = make_data_source(cfg, cfg.DATASETS.TRAIN[0], "train_new")
     loader = DetectionLoader(
-        source, cfg, batch_size=int(cfg.SOLVER.IMS_PER_BATCH), is_train=True,
-        seed=int(cfg.SEED),
+        source, cfg, is_train=True, seed=int(cfg.SEED),
+        **_shard_kwargs(int(cfg.SOLVER.IMS_PER_BATCH)),
     )
     max_iter = int(max_iter_override or cfg.SOLVER.MAX_ITER)
     checkpoint_period = int(cfg.SOLVER.CHECKPOINT_PERIOD)
@@ -283,7 +301,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
     # data: ABR (with device crop bank) when MEM_BUFF is set, else finetune
     use_mem = cfg_target.MEM_BUFF not in (None, 0, False)
     source = make_data_source(cfg_target, cfg_target.DATASETS.TRAIN[0], "train_new")
-    batch_size = int(cfg_target.SOLVER.IMS_PER_BATCH)
+    shard_kw = _shard_kwargs(int(cfg_target.SOLVER.IMS_PER_BATCH))
     max_iter = int(max_iter_override or cfg_target.SOLVER.MAX_ITER)
     checkpoint_period = int(cfg_target.SOLVER.CHECKPOINT_PERIOD)
 
@@ -296,8 +314,9 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         mem_path = mem.current_mem_path or mem.first_mem_path
         bank = load_crop_bank(mem_path, tuple(cfg_target.TPU.CROP_BANK_HW))
         fuse = make_abr_batch_fn(cfg_target, bank)
-        loader = DetectionLoader(source, cfg_target, batch_size, is_train=True,
-                                 seed=int(cfg_target.SEED), normalize=False)
+        loader = DetectionLoader(source, cfg_target, is_train=True,
+                                 seed=int(cfg_target.SEED), normalize=False,
+                                 **shard_kw)
 
         def batch_iter():
             # background-thread the host decode/resize so it overlaps the
@@ -328,8 +347,8 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
 
         batches = batch_iter()
     else:
-        loader = DetectionLoader(source, cfg_target, batch_size, is_train=True,
-                                 seed=int(cfg_target.SEED))
+        loader = DetectionLoader(source, cfg_target, is_train=True,
+                                 seed=int(cfg_target.SEED), **shard_kw)
         batches = loader.prefetched(max_batches=max_iter)
 
     with jax.sharding.set_mesh(mesh):
@@ -403,8 +422,8 @@ def run_test(cfg, params=None, logger=None, max_images=None):
 
         source = ConcatDataSource(sources)
     loader = DetectionLoader(
-        source, cfg, batch_size=int(cfg.TEST.IMS_PER_BATCH), is_train=False,
-        canvas=canvas, flip=False,
+        source, cfg, is_train=False, canvas=canvas, flip=False,
+        **_shard_kwargs(int(cfg.TEST.IMS_PER_BATCH)),
     )
 
     predictions, ground_truths = [], []

@@ -34,9 +34,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of [B, ...] arrays batch-sharded over 'data'."""
+    """Device-put a pytree of [B, ...] arrays batch-sharded over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host
+    holds only its shard of the global batch (DetectionLoader slices
+    orientation-grouped global batches per process), so assemble the
+    global array from per-process local data."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )
 
 
 def _is_tp_kernel(names) -> bool:

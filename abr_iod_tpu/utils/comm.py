@@ -40,12 +40,31 @@ def synchronize() -> None:
 
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every host (reference
-    utils/comm.py:48-88 pickled all_gather)."""
+    utils/comm.py:48-88: pickle → pad-to-max byte tensor → all_gather →
+    trim; same recipe here, since process_allgather requires same-shaped
+    array pytrees across processes and eval predictions are ragged)."""
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    local_len = np.array([payload.size], dtype=np.int64)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(local_len, tiled=False)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), dtype=np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(
+        multihost_utils.process_allgather(padded, tiled=False)
+    ).reshape(jax.process_count(), max_len)
+    return [
+        pickle.loads(gathered[i, : int(lengths[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
 
 
 def reduce_dict(d: Dict[str, jnp.ndarray], average: bool = True) -> Dict[str, float]:
