@@ -21,6 +21,12 @@ def build_detection_model(cfg):
         from .retinanet import build_retinanet
 
         return build_retinanet(cfg)
+    if str(cfg.MODEL.BACKBONE.CONV_BODY).startswith("FBNet"):
+        # FBNet trunk + FBNet rpn/bbox heads (reference backbone registry,
+        # fbnet.py add_conv_body/add_rpn_head/add_roi_head)
+        from .fbnet import build_fbnet_detector
+
+        return build_fbnet_detector(cfg)
     num_anchors = len(tuple(cfg.MODEL.RPN.ANCHOR_SIZES)) * len(
         tuple(cfg.MODEL.RPN.ASPECT_RATIOS)
     )

@@ -93,6 +93,11 @@ def main():
     if os.environ.get("BENCH_PRE_NMS"):
         cfg.TPU.PRE_NMS_TOP_N_TRAIN = int(os.environ["BENCH_PRE_NMS"])
         cfg.TPU.PRE_NMS_TOP_N_TEST = int(os.environ["BENCH_PRE_NMS"])
+    if os.environ.get("BENCH_POST_NMS"):
+        # raise the static POST cap so the full reference proposal count
+        # (MODEL.RPN.POST_NMS_TOP_N_TRAIN=2000) reaches RoI sampling
+        cfg.TPU.POST_NMS_TOP_N_TRAIN = int(os.environ["BENCH_POST_NMS"])
+        cfg.TPU.POST_NMS_TOP_N_TEST = int(os.environ["BENCH_POST_NMS"])
 
     cfg_teacher = cfg.clone()
     cfg_teacher.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 16

@@ -21,12 +21,91 @@ def test_irf_block_stride(rng):
     assert y.shape == (1, 4, 4, 24)
 
 
-def test_fbnet_trunk_archs(rng):
+def test_fbnet_trunk_legacy_archs(rng):
     x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
-    for arch in ARCH_DEFS:
+    for arch in ("xirb16d", "mnv2"):
         trunk = FBNetTrunk(arch=arch)
         variables = trunk.init(jax.random.PRNGKey(0), x)
         out, stages = trunk.apply(variables, x)
         assert out.shape[-1] == ARCH_DEFS[arch][-1][1]
         assert len(stages) == len(ARCH_DEFS[arch])
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fbnet_trunk_reference_archs(rng):
+    """Reference-format MODEL_ARCH tables (fbnet_modeldef.py): trunk runs
+    the 'backbone' stage groups; final channels come from the last
+    backbone stage's block cfg."""
+    from abr_iod_tpu.models.fbnet import MODEL_ARCH, arch_stage_blocks
+
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    for arch in MODEL_ARCH:
+        trunk = FBNetTrunk(arch=arch)
+        variables = trunk.init(jax.random.PRNGKey(0), x)
+        out, stages = trunk.apply(variables, x)
+        backbone = arch_stage_blocks(arch, "backbone")
+        assert len(stages) == len(backbone)
+        assert out.shape[-1] == backbone[-1][-1][2]  # last block's channels
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fbnet_primitive_registry(rng):
+    """Every registered primitive builds and runs (fbnet_builder.py
+    PRIMITIVES:37-193)."""
+    from abr_iod_tpu.models.fbnet import PRIMITIVES, _primitive
+
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    for op in PRIMITIVES:
+        blk = _primitive(op, expansion=3, out_channels=24, stride=2,
+                         name=op, dtype=jnp.float32)
+        variables = blk.init(jax.random.PRNGKey(0), x)
+        y = blk.apply(variables, x)
+        assert y.shape == (1, 4, 4, 24), op
+        assert np.isfinite(np.asarray(y)).all(), op
+
+
+def test_fbnet_detector_trains_one_step(rng):
+    """An FBNet config trains one step like the other model families
+    (reference fbnet.py FBNetRPNHead/ROIHead wiring)."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.engine import Batch, TrainState, make_train_step
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.solver.optim import make_optimizer
+
+    cfg = get_default_config()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = "mobilenet_v2"
+    cfg.MODEL.FBNET.SCALE_FACTOR = 0.25
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TPU.PRE_NMS_TOP_N_TRAIN = 64
+    cfg.TPU.POST_NMS_TOP_N_TRAIN = 32
+    cfg.TPU.MAX_GT = 8
+    canvas = (64, 96)
+
+    model = build_detection_model(cfg)
+    assert type(model).__name__ == "FBNetFasterRCNN"
+    pixels = jnp.asarray(rng.randn(2, *canvas, 3).astype(np.float32))
+    rois = jnp.zeros((2, 4, 4)) + 16.0
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, rois)
+    tx = make_optimizer(cfg, params)
+
+    gt_boxes = np.zeros((2, 8, 4), np.float32)
+    gt_labels = np.zeros((2, 8), np.int32)
+    gt_mask = np.zeros((2, 8), bool)
+    gt_boxes[:, 0] = [4, 4, 40, 40]
+    gt_labels[:, 0] = 1
+    gt_mask[:, 0] = True
+    batch = Batch(
+        pixels=pixels,
+        sizes=jnp.tile(jnp.asarray([[canvas[0], canvas[1]]], jnp.int32), (2, 1)),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_labels=jnp.asarray(gt_labels),
+        gt_mask=jnp.asarray(gt_mask),
+    )
+    step, _ = make_train_step(model, tx, cfg, canvas)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -34,6 +34,8 @@ from abr_iod_tpu.models import FasterRCNN
 from abr_iod_tpu.solver.optim import make_optimizer
 from abr_iod_tpu.utils.checkpoint import align_and_update_params
 
+pytestmark = pytest.mark.slow  # compile-heavy tier: run with `pytest -m ""`
+
 CANVAS = (128, 160)
 OLD = VOC_CLASSES[:2]
 NEW = (VOC_CLASSES[2],)

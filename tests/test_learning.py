@@ -22,6 +22,8 @@ from abr_iod_tpu.solver.optim import make_optimizer
 
 from tests.test_train_step import tiny_model
 
+pytestmark = pytest.mark.slow  # compile-heavy tier: run with `pytest -m ""`
+
 CANVAS = (128, 160)
 N_CLASSES = 3
 
