@@ -222,6 +222,8 @@ def _primitive(op: str, expansion: int, out_channels: int, stride: int,
     if op.startswith("ir_k"):
         parts = op.split("_")
         kernel = int(parts[1][1:])
+        if kernel not in (1, 3, 5, 7):  # fbnet_builder.py IRFBlock:464
+            raise ValueError(f"unknown FBNet primitive {op!r} (kernel {kernel})")
         exp, pw_group, shuffle, se = expansion, 1, None, False
         for p in parts[2:]:
             if p == "se":
