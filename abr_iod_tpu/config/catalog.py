@@ -41,6 +41,67 @@ class DatasetCatalog:
             "data_dir": "voc/VOC2007",
             "split": "trainval",
         },
+        "voc_2007_train": {
+            "factory": "PascalVOCDataset",
+            "data_dir": "voc/VOC2007",
+            "split": "train",
+        },
+        "voc_2007_val": {
+            "factory": "PascalVOCDataset",
+            "data_dir": "voc/VOC2007",
+            "split": "val",
+        },
+        # COCO-json datasets (reference paths_catalog.py:10-49; the COCO
+        # incremental protocol uses 2014 train/minival)
+        "coco_2017_train": {
+            "factory": "COCODataset",
+            "data_dir": "coco",
+            "img_dir": "coco/train2017",
+            "ann_file": "coco/annotations/instances_train2017.json",
+        },
+        "coco_2017_val": {
+            "factory": "COCODataset",
+            "data_dir": "coco",
+            "img_dir": "coco/val2017",
+            "ann_file": "coco/annotations/instances_val2017.json",
+        },
+        "coco_2014_train": {
+            "factory": "COCODataset",
+            "data_dir": "COCO2014",
+            "img_dir": "COCO2014/train2014",
+            "ann_file": "COCO2014/annotations/instances_train2014.json",
+        },
+        "coco_2014_val": {
+            "factory": "COCODataset",
+            "data_dir": "COCO2014",
+            "img_dir": "COCO2014/val2014",
+            "ann_file": "COCO2014/annotations/instances_val2014.json",
+        },
+        "coco_2014_minival": {
+            "factory": "COCODataset",
+            "data_dir": "COCO2014",
+            "img_dir": "COCO2014/val2014",
+            "ann_file": "COCO2014/annotations/instances_minival2014.json",
+        },
+        "coco_2014_valminusminival": {
+            "factory": "COCODataset",
+            "data_dir": "COCO2014",
+            "img_dir": "COCO2014/val2014",
+            "ann_file": "COCO2014/annotations/instances_valminusminival2014.json",
+        },
+        # VOC2012/SBD instance segmentation (reference voc2012_Instance.py)
+        "voc_2012_train_instance": {
+            "factory": "PascalVOCDataset2012",
+            "data_dir": "voc12",
+            "img_dir": "voc12/img",
+            "ann_file": "voc12/voc_2012_train_instance.json",
+        },
+        "voc_2012_val_instance": {
+            "factory": "PascalVOCDataset2012",
+            "data_dir": "voc12",
+            "img_dir": "voc12/img",
+            "ann_file": "voc12/voc_2012_val_instance.json",
+        },
         # synthetic datasets for tests / benches (no VOC on disk needed)
         "voc_synthetic_train": {
             "factory": "SyntheticVOCDataset",
@@ -65,4 +126,7 @@ class DatasetCatalog:
             raise KeyError(f"unknown dataset {name!r}")
         spec = dict(cls.DATASETS[name])
         spec["root"] = os.path.join(cls.DATA_DIR, spec.pop("data_dir"))
+        for key in ("img_dir", "ann_file"):
+            if key in spec:
+                spec[key] = os.path.join(cls.DATA_DIR, spec[key])
         return spec

@@ -221,6 +221,10 @@ _C.TPU.CANVAS_TEST = (832, 1344)
 # each orientation gets its own cached executable (data/loader.py)
 _C.TPU.DUAL_ORIENTATION = True
 _C.TPU.MAX_GT = 64  # padded ground-truth slots per image
+# instance masks ride as per-GT box-normalized crops of this resolution
+# (full-image masks don't batch statically; see structures/masks.py
+# resample_gt_crops_to_rois)
+_C.TPU.MASK_CROP_SIZE = 28
 # static pre-NMS top-k used by the compiled proposal selector; the
 # reference's 12000 is dynamic-shape-friendly on GPU but wasteful on TPU
 _C.TPU.PRE_NMS_TOP_N_TRAIN = 2048

@@ -62,6 +62,16 @@ class COCODataSource:
         )
         id_order = [cid for cid, _ in cats_by_id]
         self.id_to_name = dict(cats_by_id)
+        # label mapping: COCO jsons use the alphabetical re-indexing
+        # (coco.py:81-90); non-COCO category sets (e.g. the VOC2012
+        # instance jsons) fall back to the reference's
+        # json_category_id_to_contiguous_id (sorted-id order)
+        if all(n in CAT_TO_ALPHA_LABEL for _, n in cats_by_id):
+            self._label_of = {
+                cid: CAT_TO_ALPHA_LABEL[n] for cid, n in cats_by_id
+            }
+        else:
+            self._label_of = {cid: i + 1 for i, cid in enumerate(id_order)}
 
         new_ids = set(id_order[num_old_categories : num_old_categories + num_new_categories])
         seen_ids = set(id_order[: num_old_categories + num_new_categories])
@@ -100,7 +110,7 @@ class COCODataSource:
         for a in self._filtered[img_id]:
             x, y, w, h = a["bbox"]
             boxes.append([x, y, x + w, y + h])  # xywh → xyxy
-            labels.append(CAT_TO_ALPHA_LABEL[self.id_to_name[a["category_id"]]])
+            labels.append(self._label_of[a["category_id"]])
         return {
             "img_id": str(img_id),
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),

@@ -63,6 +63,10 @@ class DetectionLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.start_iter = start_iter
+        # instance-seg training: emit box-normalized per-GT mask crops
+        self.mask_crop_size = (
+            int(cfg.TPU.get("MASK_CROP_SIZE", 28)) if bool(cfg.MODEL.MASK_ON) else 0
+        )
         self._portrait_cache: dict = {}
 
     def __len__(self):
@@ -153,23 +157,63 @@ class DetectionLoader:
             image, record["boxes"], self.min_size, self.max_size,
             self.canvas_for(index),
         )
-        if self.flip_prob > 0 and rng.uniform() < self.flip_prob:
+        flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob
+        if flipped:
             canvas, boxes = T.hflip(canvas, size_hw, boxes)
         if self.normalize:
             canvas = T.normalize(
                 canvas, self.cfg.INPUT.PIXEL_MEAN, bool(self.cfg.INPUT.TO_BGR255)
             )
         pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
-        return canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record
+        crops = self._mask_crops(record, flipped) if self.mask_crop_size else None
+        return canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record, crops
+
+    def _mask_crops(self, record, flipped: bool) -> np.ndarray:
+        """[MAX_GT, R, R] float32: each gt instance's mask cropped to its
+        own (original-coordinate) box and resized — box-normalized, so the
+        canvas resize needs no mask-side work (the crop is scale
+        invariant; reference SegmentationMask.crop+resize,
+        mask_head/loss.py:16-44)."""
+        from PIL import Image
+
+        r = self.mask_crop_size
+        out = np.zeros((self.max_gt, r, r), np.float32)
+        masks = record.get("masks")
+        if masks is None or len(masks) == 0:
+            return out
+        boxes = record["boxes"]
+        for i in range(min(len(masks), self.max_gt)):
+            x1, y1, x2, y2 = boxes[i]
+            x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+            x2i = max(int(np.ceil(x2)) + 1, x1i + 1)
+            y2i = max(int(np.ceil(y2)) + 1, y1i + 1)
+            crop = np.asarray(masks[i][y1i:y2i, x1i:x2i], np.float32)
+            if crop.size == 0:
+                continue
+            resized = np.asarray(
+                Image.fromarray((crop * 255).astype(np.uint8)).resize(
+                    (r, r), Image.BILINEAR
+                ),
+                np.float32,
+            ) / 255.0
+            if flipped:
+                resized = resized[:, ::-1]
+            out[i] = resized
+        return out
 
     def batches(self, max_batches: Optional[int] = None) -> Iterator[Batch]:
         """Yield Batch pytrees (numpy); records side-channel not included."""
         rng = np.random.RandomState(self.seed + 7 + self.start_iter)
         count = 0
         for idxs in self._index_batches():
-            items = [self._load_one(i, rng)[:5] for i in idxs]
-            pixels, sizes, boxes, labels, masks = map(np.stack, zip(*items))
-            yield Batch(pixels, sizes, boxes, labels, masks)
+            loaded = [self._load_one(i, rng) for i in idxs]
+            pixels, sizes, boxes, labels, masks = map(
+                np.stack, zip(*[l[:5] for l in loaded])
+            )
+            crops = (
+                np.stack([l[6] for l in loaded]) if self.mask_crop_size else None
+            )
+            yield Batch(pixels, sizes, boxes, labels, masks, gt_mask_crops=crops)
             count += 1
             if max_batches is not None and count >= max_batches:
                 return

@@ -33,10 +33,36 @@ from .train import Batch, TrainState, make_train_step
 
 
 # --------------------------------------------------------------- datasets
-def make_data_source(cfg, dataset_name: str, mode: str) -> VOCDataSource:
-    """mode: train_new | test_all | sample_new (see data/voc.py)."""
+def make_data_source(cfg, dataset_name: str, mode: str):
+    """mode: train_new | test_all | sample_new (see data/voc.py).
+
+    Factory dispatch mirrors the reference's data/build.py build_dataset
+    over paths_catalog factories (PascalVOCDataset / COCODataset /
+    PascalVOCDataset2012)."""
     spec = DatasetCatalog.get(dataset_name)
     root = spec["root"]
+    factory = spec.get("factory", "PascalVOCDataset")
+    if factory in ("COCODataset", "PascalVOCDataset2012"):
+        # incremental split sizes come from the named class lists when the
+        # config sets them; otherwise the source's own protocol defaults
+        # (COCO 70+10, VOC2012 15+5)
+        new_names = tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES)
+        old_names = tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES)
+        kwargs = dict(is_train=(mode != "test_all"))
+        if new_names or old_names:
+            kwargs.update(
+                num_old_categories=len(old_names),
+                num_new_categories=len(new_names),
+            )
+        if factory == "COCODataset":
+            from ..data.coco import COCODataSource
+
+            return COCODataSource(spec["ann_file"], spec["img_dir"], **kwargs)
+        from ..data.voc2012_instance import VOC2012InstanceDataSource
+
+        return VOC2012InstanceDataSource(
+            spec["ann_file"], spec["img_dir"], **kwargs
+        )
     if spec["factory"].startswith("Synthetic"):
         root = os.path.join(DatasetCatalog.DATA_DIR, "synthetic_voc/VOC2007")
         if not os.path.isdir(os.path.join(root, "JPEGImages")):

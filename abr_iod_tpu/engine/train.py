@@ -35,6 +35,9 @@ class Batch(NamedTuple):
     gt_boxes: jnp.ndarray  # [B, M, 4]
     gt_labels: jnp.ndarray  # [B, M] int32
     gt_mask: jnp.ndarray  # [B, M] bool
+    # optional task targets (None when the dataset/config doesn't use them)
+    gt_mask_crops: Any = None  # [B, M, R, R] box-normalized instance masks
+    gt_keypoints: Any = None  # [B, M, K, 3] (x, y, vis) in canvas coords
 
 
 def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
@@ -85,7 +88,7 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         bg_iou=float(cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD),
         bbox_reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
     )
-    rois, rlabels, rtgts, rvalid, rpos = L.subsample_rois(
+    rois, rlabels, rtgts, rvalid, rpos, rmatched = L.subsample_rois(
         roi_tgts, props.boxes, k_roi,
         batch_size_per_image=int(cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE),
         positive_fraction=float(cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION),
@@ -106,8 +109,42 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         "loss_rpn_box_reg": rpn_box_loss,
         "loss_classifier": cls_loss,
         "loss_box_reg": box_loss,
-        "loss": total,
     }
+
+    # optional task heads on the shared pooled features (reference C4
+    # roi_heads combiner, roi_heads/roi_heads.py:23-63: the mask/keypoint
+    # branches consume the box branch's features and add their losses)
+    if batch.gt_mask_crops is not None and getattr(model, "mask_on", False):
+        from ..models.mask_head import mask_rcnn_loss_from_crops
+
+        mask_logits = model.apply(
+            params, roi_feats, method="mask_from_roi_features"
+        )  # [B, S, 2P, 2P, C]
+        loss_mask = mask_rcnn_loss_from_crops(
+            mask_logits, rois, rlabels, rvalid & rpos,
+            batch.gt_mask_crops, batch.gt_boxes, rmatched,
+        )
+        total = total + loss_mask
+        metrics["loss_mask"] = loss_mask
+
+    if batch.gt_keypoints is not None and getattr(model, "keypoint_on", False):
+        from ..models.keypoint_head import keypoint_rcnn_loss
+
+        kp_logits = model.apply(
+            params, roi_feats, method="keypoints_from_roi_features"
+        )  # [B, S, H, H, K]
+        b_, s_ = rois.shape[:2]
+        roi_kps = jax.vmap(lambda kps, m: kps[m])(batch.gt_keypoints, rmatched)
+        loss_kp = keypoint_rcnn_loss(
+            kp_logits.reshape((b_ * s_,) + kp_logits.shape[2:]),
+            rois.reshape(b_ * s_, 4),
+            roi_kps.reshape(b_ * s_, *roi_kps.shape[2:]),
+            (rvalid & rpos).reshape(b_ * s_),
+        )
+        total = total + loss_kp
+        metrics["loss_kp"] = loss_kp
+
+    metrics["loss"] = total
     aux = {
         "features": features,
         "backbone_features": backbone_feats,
@@ -138,7 +175,7 @@ def forward_with_external_proposals(model, params, batch: Batch, proposals_boxes
         bg_iou=float(cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD),
         bbox_reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
     )
-    rois, rlabels, rtgts, rvalid, _ = L.subsample_rois(
+    rois, rlabels, rtgts, rvalid, _, _ = L.subsample_rois(
         roi_tgts, proposals_boxes, key,
         batch_size_per_image=int(cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE),
         positive_fraction=float(cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION),

@@ -108,6 +108,27 @@ class FasterRCNN(nn.Module):
         logits = self.mask_predictor(x)
         return logits.reshape((b, s) + logits.shape[1:])
 
+    def mask_from_roi_features(self, roi_feats):
+        """Mask logits from already-pooled RoI features [B, S, P, P, C] —
+        the training path reuses the box branch's pooled features instead
+        of re-running RoIAlign (the reference's C4 roi_heads share the
+        feature extractor the same way, roi_heads.py:23-63)."""
+        if not self.mask_on:
+            raise ValueError("model built without mask_on")
+        b, s = roi_feats.shape[:2]
+        x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+        logits = self.mask_predictor(x)
+        return logits.reshape((b, s) + logits.shape[1:])
+
+    def keypoints_from_roi_features(self, roi_feats):
+        """Keypoint logits from already-pooled RoI features."""
+        if not self.keypoint_on:
+            raise ValueError("model built without keypoint_on")
+        b, s = roi_feats.shape[:2]
+        x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
+        heat = self.keypoint_predictor(x)
+        return heat.reshape((b, s) + heat.shape[1:])
+
     def keypoint_heads(self, features, rois):
         """Keypoint branch (reference keypoint_head.py:9-50)."""
         if not self.keypoint_on:

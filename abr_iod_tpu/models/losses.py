@@ -81,6 +81,7 @@ def rpn_loss(objectness, box_regression, rpn_targets: RpnTargets, key,
 class RoiTargets(NamedTuple):
     labels: jnp.ndarray  # [B, P] int32: -1 ignore, 0 bg, c>0 class
     reg_targets: jnp.ndarray  # [B, P, 4]
+    matched_gt: jnp.ndarray  # [B, P] int32 index of the matched gt slot
 
 
 def prepare_roi_targets(prop_boxes, prop_valid, gt_boxes, gt_labels, gt_mask,
@@ -97,10 +98,12 @@ def prepare_roi_targets(prop_boxes, prop_valid, gt_boxes, gt_labels, gt_mask,
         labels = jnp.where(res.matched_idx == M.BETWEEN_THRESHOLDS, -1, labels)
         labels = jnp.where(pvalid, labels, -1)
         reg = B.encode_boxes(boxes[res.matched_gt], pboxes, weights=bbox_reg_weights)
-        return labels, reg
+        return labels, reg, res.matched_gt.astype(jnp.int32)
 
-    labels, reg = jax.vmap(one)(prop_boxes, prop_valid, gt_boxes, gt_labels, gt_mask)
-    return RoiTargets(labels, reg)
+    labels, reg, matched = jax.vmap(one)(
+        prop_boxes, prop_valid, gt_boxes, gt_labels, gt_mask
+    )
+    return RoiTargets(labels, reg, matched)
 
 
 def subsample_rois(roi_targets: RoiTargets, prop_boxes, key,
@@ -108,12 +111,12 @@ def subsample_rois(roi_targets: RoiTargets, prop_boxes, key,
     """Fixed-size RoI subsampling (reference box_head/loss.py:86-120).
 
     Returns (rois [B,S,4], labels [B,S], reg_targets [B,S,4],
-             valid [B,S], is_pos [B,S]).
+             valid [B,S], is_pos [B,S], matched_gt [B,S]).
     """
     bsz = roi_targets.labels.shape[0]
     keys = jax.random.split(key, bsz)
 
-    def one(labels, reg, boxes, k):
+    def one(labels, reg, matched, boxes, k):
         samp = S.balanced_sample_indices(labels, k, batch_size_per_image, positive_fraction)
         return (
             boxes[samp.idx],
@@ -121,9 +124,11 @@ def subsample_rois(roi_targets: RoiTargets, prop_boxes, key,
             reg[samp.idx],
             samp.valid,
             samp.is_pos,
+            matched[samp.idx],
         )
 
-    return jax.vmap(one)(roi_targets.labels, roi_targets.reg_targets, prop_boxes, keys)
+    return jax.vmap(one)(roi_targets.labels, roi_targets.reg_targets,
+                         roi_targets.matched_gt, prop_boxes, keys)
 
 
 def roi_box_loss(class_logits, box_regression, labels, reg_targets, valid,

@@ -89,3 +89,35 @@ def mask_rcnn_loss(mask_logits, rois, roi_labels, roi_is_pos,
     pos = roi_is_pos.astype(jnp.float32)[:, None, None]
     denom = jnp.maximum(jnp.sum(pos) * m * m, 1.0)
     return jnp.sum(bce * pos) / denom
+
+
+def mask_rcnn_loss_from_crops(mask_logits, rois, roi_labels, roi_is_pos,
+                              gt_mask_crops, gt_boxes, matched_gt):
+    """Batch-wide mask BCE from box-normalized GT crops (the loader-side
+    mask representation — see structures.masks.resample_gt_crops_to_rois).
+
+    mask_logits [B, S, M, M, C], rois [B, S, 4], roi_labels [B, S],
+    roi_is_pos [B, S] bool, gt_mask_crops [B, G, R, R],
+    gt_boxes [B, G, 4], matched_gt [B, S] int32.
+
+    Matches the reference's normalization: one BCE mean over all positive
+    RoIs of the whole batch (mask_head/loss.py:100-135).
+    """
+    from ..structures.masks import resample_gt_crops_to_rois
+
+    b, s, m, _, c = mask_logits.shape
+    targets = jax.vmap(
+        lambda crops, boxes, mg, r: resample_gt_crops_to_rois(crops, boxes, mg, r, m)
+    )(gt_mask_crops, gt_boxes, matched_gt, rois)  # [B, S, M, M]
+
+    per_class = jnp.take_along_axis(
+        mask_logits, roi_labels.clip(0)[:, :, None, None, None], axis=4
+    )[..., 0]
+    logits = per_class.astype(jnp.float32)
+    targets = (targets > 0.5).astype(jnp.float32)  # binarize resampled crops
+    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    pos = roi_is_pos.astype(jnp.float32)[:, :, None, None]
+    denom = jnp.maximum(jnp.sum(roi_is_pos.astype(jnp.float32)) * m * m, 1.0)
+    return jnp.sum(bce * pos) / denom

@@ -98,3 +98,56 @@ def paste_masks_in_image(mask_probs: np.ndarray, boxes: np.ndarray,
                 dy1 - int(ey1) : dy2 - int(ey1), dx1 - int(ex1) : dx2 - int(ex1)
             ]
     return out
+
+
+def resample_gt_crops_to_rois(gt_crops, gt_boxes, matched_gt, rois,
+                              out_size: int):
+    """Mask targets from box-normalized GT crops — the TPU-native stand-in
+    for the reference's project_masks_on_boxes (mask_head/loss.py:16-44),
+    which crops full-image masks per proposal.  Full-image masks are too
+    large to batch statically (64 GT x 832x1344 per image), so the loader
+    stores each instance's mask cropped to its OWN gt box at a fixed
+    resolution; here each sampled RoI's target window is resampled from
+    its matched gt's crop via the affine map between the two boxes.
+
+    gt_crops [G, R, R] float in [0,1] (mask of gt g inside gt_boxes[g]),
+    gt_boxes [G, 4], matched_gt [N] int32, rois [N, 4] →
+    [N, out_size, out_size] float targets.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    r = gt_crops.shape[-1]
+
+    def one(gt_idx, roi):
+        crop = gt_crops[gt_idx].astype(jnp.float32)
+        gx1, gy1, gx2, gy2 = gt_boxes[gt_idx]
+        gw = jnp.maximum(gx2 - gx1, 1.0)
+        gh = jnp.maximum(gy2 - gy1, 1.0)
+        x1, y1, x2, y2 = roi
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh = jnp.maximum(y2 - y1, 1.0)
+        # roi-grid sample points in image coords → gt-box-normalized coords
+        ys = (y1 + (jnp.arange(out_size) + 0.5) / out_size * bh - gy1) / gh * r
+        xs = (x1 + (jnp.arange(out_size) + 0.5) / out_size * bw - gx1) / gw * r
+        inside_y = (ys >= 0) & (ys <= r)
+        inside_x = (xs >= 0) & (xs <= r)
+        y0 = jnp.clip(jnp.floor(ys - 0.5), 0, r - 1)
+        x0 = jnp.clip(jnp.floor(xs - 0.5), 0, r - 1)
+        fy = jnp.clip(ys - 0.5 - y0, 0.0, 1.0)
+        fx = jnp.clip(xs - 0.5 - x0, 0.0, 1.0)
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, r - 1)
+        x1i = jnp.minimum(x0 + 1, r - 1)
+        v00 = crop[y0[:, None], x0[None, :]]
+        v01 = crop[y0[:, None], x1i[None, :]]
+        v10 = crop[y1i[:, None], x0[None, :]]
+        v11 = crop[y1i[:, None], x1i[None, :]]
+        top = v00 * (1 - fx)[None, :] + v01 * fx[None, :]
+        bot = v10 * (1 - fx)[None, :] + v11 * fx[None, :]
+        val = top * (1 - fy)[:, None] + bot * fy[:, None]
+        # outside the gt box the instance mask is 0 by definition
+        return val * (inside_y[:, None] & inside_x[None, :]).astype(jnp.float32)
+
+    return jax.vmap(one)(matched_gt, rois)

@@ -56,3 +56,80 @@ def test_make_bbox_loader_sampling_mode(cfg):
     # sampling mode: only new-class labels present
     for rec in records:
         assert np.isin(rec["labels"], [1, 2, 3, 4]).all()
+
+
+def test_catalog_covers_reference_dataset_names():
+    """The catalog resolves the dataset names the reference's configs and
+    paths_catalog.py use (coco incremental + voc 2007/2012 instance)."""
+    from abr_iod_tpu.config.catalog import DatasetCatalog
+
+    for name in (
+        "voc_2007_trainval", "voc_2007_test", "voc_rb_2007_trainval",
+        "voc_2007_train", "voc_2007_val",
+        "coco_2014_train", "coco_2014_minival", "coco_2014_valminusminival",
+        "coco_2017_train", "coco_2017_val",
+        "voc_2012_train_instance", "voc_2012_val_instance",
+    ):
+        spec = DatasetCatalog.get(name)
+        assert "factory" in spec and "root" in spec, name
+
+
+def test_make_data_source_dispatches_coco_and_instance(tmp_path, cfg):
+    """Factory dispatch builds COCO / VOC2012-instance sources from
+    catalog entries (reference data/build.py build_dataset)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from abr_iod_tpu.config.catalog import DatasetCatalog
+    from abr_iod_tpu.engine.driver import make_data_source
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(img_dir / "x.jpg")
+    def write_ann(path, names):
+        ann = {
+            "images": [{"id": 1, "file_name": "x.jpg", "height": 40,
+                        "width": 60}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1, "iscrowd": 0,
+                "bbox": [5, 5, 20, 20], "area": 400,
+                "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]],
+            }],
+            "categories": [{"id": i + 1, "name": n}
+                           for i, n in enumerate(names)],
+        }
+        path.write_text(json.dumps(ann))
+
+    coco_ann = tmp_path / "coco.json"
+    write_ann(coco_ann, ["person", "bicycle"])  # COCO category names
+    inst_ann = tmp_path / "inst.json"
+    write_ann(inst_ann, ["aeroplane", "bicycle"])  # VOC category names
+
+    old = dict(DatasetCatalog.DATASETS)
+    try:
+        DatasetCatalog.DATASETS["tmp_coco"] = {
+            "factory": "COCODataset", "data_dir": "",
+            "img_dir": str(img_dir), "ann_file": str(coco_ann),
+        }
+        DatasetCatalog.DATASETS["tmp_inst"] = {
+            "factory": "PascalVOCDataset2012", "data_dir": "",
+            "img_dir": str(img_dir), "ann_file": str(inst_ann),
+        }
+        # catalog joins DATA_DIR; use absolute paths via empty DATA_DIR
+        saved_dd = DatasetCatalog.DATA_DIR
+        DatasetCatalog.DATA_DIR = ""
+        cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = ()
+        cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = ("aeroplane", "bicycle")
+        src = make_data_source(cfg, "tmp_coco", "train_new")
+        assert len(src) == 1
+        rec = src.annotation(0)
+        assert rec["boxes"].shape == (1, 4)
+        inst = make_data_source(cfg, "tmp_inst", "train_new")
+        rec2 = inst.annotation(0)
+        assert rec2["masks"].shape == (1, 40, 60)
+        assert rec2["masks"][0, 10, 10]
+    finally:
+        DatasetCatalog.DATASETS = old
+        DatasetCatalog.DATA_DIR = saved_dd

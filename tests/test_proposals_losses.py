@@ -116,7 +116,7 @@ def test_roi_targets_subsample_and_loss():
     labels = np.asarray(tgts.labels)[0]
     np.testing.assert_array_equal(labels, [1, 3, 0, 0, -1])
 
-    rois, rlabels, rtgts, valid, is_pos = L.subsample_rois(
+    rois, rlabels, rtgts, valid, is_pos, matched = L.subsample_rois(
         tgts, prop_boxes, jax.random.PRNGKey(0), batch_size_per_image=8,
         positive_fraction=0.25,
     )
