@@ -452,11 +452,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         **_shard_kwargs(int(cfg.TEST.IMS_PER_BATCH)),
     )
 
+    mask_on = bool(cfg.MODEL.MASK_ON)
     predictions, ground_truths = [], []
+    seg_predictions, seg_ground_truths = [], []
     n_done = 0
     t0 = time.time()
     for batch, records, n_valid in loader.eval_batches():
-        dets = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
+        out = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
+        dets, mask_probs = out if mask_on else (out, None)
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
@@ -475,6 +478,21 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                 {"boxes": rec["boxes"], "labels": rec["labels"],
                  "difficult": rec["difficult"]}
             )
+            if mask_on and rec.get("masks") is not None:
+                from ..structures.masks import paste_masks_in_image
+
+                hw = (int(rec["height"]), int(rec["width"]))
+                seg_predictions.append({
+                    "masks": paste_masks_in_image(
+                        np.asarray(mask_probs[i])[v], b, hw
+                    ),
+                    "labels": labels[i][v],
+                    "scores": scores[i][v],
+                })
+                seg_ground_truths.append(
+                    {"masks": np.asarray(rec["masks"], bool),
+                     "labels": rec["labels"]}
+                )
         n_done += n_valid
         if max_images and n_done >= max_images:
             break
@@ -487,6 +505,13 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         predictions = [p for g in gathered for p in g[0]]
         ground_truths = [g_ for g in gathered for g_ in g[1]]
     result = eval_detection_voc(predictions, ground_truths)
+    if seg_predictions:
+        # instance-seg AP alongside box AP (reference voc_eval_inst)
+        from ..evaluation.voc_eval_inst import eval_instance_seg_voc
+
+        seg_result = eval_instance_seg_voc(seg_predictions, seg_ground_truths)
+        logger.info(f"instance-seg mAP={seg_result['map']:.4f}")
+        result["segm"] = seg_result
     dt = time.time() - t0
     logger.info(
         f"eval: {n_done} images in {dt:.1f}s ({dt / max(n_done,1):.3f} s/img), "

@@ -38,13 +38,27 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
         cls_logits, box_reg, _, _ = model.apply(
             params, features, props.boxes, method="roi_heads"
         )
-        return postprocess_detections(
+        dets = postprocess_detections(
             cls_logits, box_reg, props.boxes, props.valid, sizes,
             score_thresh=float(cfg.MODEL.ROI_HEADS.SCORE_THRESH),
             nms_thresh=float(cfg.MODEL.ROI_HEADS.NMS),
             detections_per_img=int(cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG),
             per_class_topk=int(cfg.TPU.EVAL_NMS_PER_CLASS_TOPK),
         )
+        if not getattr(model, "mask_on", False):
+            return dets
+        # mask inference on the FINAL detections (reference roi_heads.py:
+        # 45-63 + mask_head/inference.py:12-90): pool the detected boxes,
+        # take each detection's own class channel, sigmoid
+        mask_logits = model.apply(
+            params, features, dets.boxes, method="mask_heads"
+        )  # [B, D, 2P, 2P, C]
+        per_class = jnp.take_along_axis(
+            mask_logits,
+            dets.labels.clip(0)[:, :, None, None, None].astype(jnp.int32),
+            axis=4,
+        )[..., 0]
+        return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
 
     anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
     return eval_step, anchors

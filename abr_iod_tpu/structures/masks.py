@@ -85,17 +85,22 @@ def paste_masks_in_image(mask_probs: np.ndarray, boxes: np.ndarray,
         cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
         bw2, bh2 = (x2 - x1) * 0.5 * scale, (y2 - y1) * 0.5 * scale
         ex1, ey1, ex2, ey2 = cx - bw2, cy - bh2, cx + bw2, cy + bh2
+        # integer anchor uses floor (int() truncates toward zero, which is
+        # wrong for negative expanded coords) and the destination window is
+        # derived from the SAME (anchor, size) pair so source/dest slices
+        # always agree in length (reference Masker paste_mask_in_image)
+        ix1, iy1 = int(np.floor(ex1)), int(np.floor(ey1))
         tw = max(int(round(ex2 - ex1 + 1)), 1)
         th = max(int(round(ey2 - ey1 + 1)), 1)
         resized = np.asarray(
             Image.fromarray(padded).resize((tw, th), Image.BILINEAR)
         )
         bin_mask = resized > threshold
-        dx1, dy1 = max(int(ex1), 0), max(int(ey1), 0)
-        dx2, dy2 = min(int(ex2) + 1, w), min(int(ey2) + 1, h)
+        dx1, dy1 = max(ix1, 0), max(iy1, 0)
+        dx2, dy2 = min(ix1 + tw, w), min(iy1 + th, h)
         if dx2 > dx1 and dy2 > dy1:
             out[i, dy1:dy2, dx1:dx2] = bin_mask[
-                dy1 - int(ey1) : dy2 - int(ey1), dx1 - int(ex1) : dx2 - int(ex1)
+                dy1 - iy1 : dy2 - iy1, dx1 - ix1 : dx2 - ix1
             ]
     return out
 

@@ -143,3 +143,94 @@ def test_loader_emits_mask_crops(tmp_path):
     if real.any():
         first = np.asarray(b.gt_mask_crops)[0][real.argmax()]
         assert first.mean() > 0.8
+
+
+def test_mask_eval_step_and_instance_map(rng, tmp_path):
+    """MASK_ON eval: the eval step returns (detections, mask probs); the
+    driver pastes masks back and reports instance-seg mAP
+    (reference roi_heads.py:45-63 + voc_eval_inst)."""
+    import json
+
+    from PIL import Image
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.config.catalog import DatasetCatalog
+    from abr_iod_tpu.engine.driver import run_test
+    from abr_iod_tpu.models import FasterRCNN
+    from abr_iod_tpu.utils.checkpoint import Checkpointer
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    images, annotations = [], []
+    r = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(r.randint(0, 255, (96, 128, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        images.append({"id": i, "file_name": f"{i}.jpg", "height": 96,
+                       "width": 128})
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+            "bbox": [10, 10, 40, 50], "area": 2000,
+            "segmentation": [[10, 10, 50, 10, 50, 60, 10, 60]],
+        })
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "aeroplane"},
+                       {"id": 2, "name": "bicycle"}],
+    }))
+
+    cfg = get_default_config()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = ()
+    cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = ("aeroplane", "bicycle")
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.RES5_BLOCKS = 1
+    cfg.TPU.RES5_BOTTLENECK = 16
+    cfg.TPU.RES5_OUT = 32
+    cfg.TPU.CANVAS_TEST = (96, 128)
+    cfg.TPU.CANVAS_TRAIN = (96, 128)
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 128
+    cfg.TPU.MAX_GT = 8
+    cfg.TPU.PRE_NMS_TOP_N_TEST = 64
+    cfg.TPU.POST_NMS_TOP_N_TEST = 32
+    cfg.TPU.EVAL_NMS_PER_CLASS_TOPK = 8
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.DATASETS.TEST = ("tmp_mask_eval",)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+
+    # a checkpoint for run_test to pick up
+    model = FasterRCNN(
+        num_classes=3, num_anchors=3, mask_on=True,
+        backbone_stages=(1, 1, 1), width_per_group=8,
+        res2_out_channels=16, res5_blocks=1, res5_bottleneck=16, res5_out=32,
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3)),
+        jnp.zeros((1, 4, 4)) + 16.0,
+    )
+    Checkpointer(cfg.OUTPUT_DIR).save("model_last", {
+        "params": jax.device_get(params)["params"], "iteration": 0})
+
+    old = dict(DatasetCatalog.DATASETS)
+    saved_dd = DatasetCatalog.DATA_DIR
+    try:
+        DatasetCatalog.DATASETS["tmp_mask_eval"] = {
+            "factory": "PascalVOCDataset2012", "data_dir": "",
+            "img_dir": str(img_dir), "ann_file": str(ann),
+        }
+        DatasetCatalog.DATA_DIR = ""
+        result = run_test(cfg, params=params)
+    finally:
+        DatasetCatalog.DATASETS = old
+        DatasetCatalog.DATA_DIR = saved_dd
+
+    assert "segm" in result
+    assert np.isfinite(result["segm"]["map"]) or np.isnan(result["segm"]["map"])
