@@ -247,7 +247,7 @@ class DetectionLoader:
         for idxs in self._index_batches():
             items = []
             for idx in idxs:
-                canvas, size_hw, pb, pl, pm, rec = self._load_one(idx, rng)
+                canvas, size_hw, pb, pl, pm, rec, _ = self._load_one(idx, rng)
                 orig = np.array([rec["height"], rec["width"]], np.int32)
                 items.append((canvas, size_hw, orig, pb, pl, pm))
             yield tuple(map(np.stack, zip(*items)))

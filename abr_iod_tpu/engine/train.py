@@ -42,13 +42,19 @@ class Batch(NamedTuple):
 
 def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
                              dist_type: str = "none", n_old_classes: int = 0,
-                             stop_backbone_grad_in_proposals: bool = True):
+                             stop_backbone_grad_in_proposals: bool = True,
+                             extra_rois=None):
     """Shared forward+loss computation; returns (total, metrics, aux).
 
     aux carries everything the incremental step's distillation needs
     (features, backbone features, rpn outputs, sampled roi features,
     student logits) — mirroring GeneralizedRCNN's training forward
     return tuple (generalized_rcnn.py:89-93).
+
+    extra_rois [B, E, 4]: additional boxes (the teacher's soften
+    proposals) to score in the SAME box-head pass — one res5 invocation
+    over S+E RoIs instead of two (the 64-RoI rescore pass alone
+    under-utilizes the MXU); their outputs land in aux["extra_*"].
     """
     k_rpn, k_roi = jax.random.split(key)
 
@@ -95,9 +101,19 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
     )
     rois = jax.lax.stop_gradient(rois)
 
+    head_rois = rois
+    if extra_rois is not None:
+        head_rois = jnp.concatenate([rois, extra_rois], axis=1)
     cls_logits, box_reg, roi_feats, _ = model.apply(
-        params, features, rois, method="roi_heads"
+        params, features, head_rois, method="roi_heads"
     )
+    extra = None
+    if extra_rois is not None:
+        s = rois.shape[1]
+        extra = (cls_logits[:, s:], box_reg[:, s:], roi_feats[:, s:])
+        cls_logits, box_reg, roi_feats = (
+            cls_logits[:, :s], box_reg[:, :s], roi_feats[:, :s]
+        )
     cls_loss, box_loss = L.roi_box_loss(
         cls_logits, box_reg, rlabels, rtgts, rvalid,
         dist_type=dist_type, n_old_classes=n_old_classes,
@@ -157,6 +173,8 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         "cls_logits": cls_logits,
         "box_reg": box_reg,
     }
+    if extra is not None:
+        aux["extra_cls_logits"], aux["extra_box_reg"], aux["extra_roi_features"] = extra
     return total, metrics, aux
 
 
