@@ -219,14 +219,19 @@ class DetectionLoader:
                 return
 
     def prefetched(self, max_batches: Optional[int] = None, depth: int = 2):
-        """Background-thread prefetch wrapper."""
+        """Background-thread prefetch wrapper.  Worker exceptions are
+        re-raised in the consumer — a dead loader must fail the run, not
+        silently end it as if training completed."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for b in self.batches(max_batches):
                     q.put(b)
+            except BaseException as e:  # noqa: BLE001 — propagated below
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -235,6 +240,8 @@ class DetectionLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 return
             yield item
 

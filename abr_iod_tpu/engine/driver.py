@@ -352,6 +352,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
 
             q: "_queue.Queue" = _queue.Queue(maxsize=int(cfg_target.TPU.PREFETCH_DEPTH))
             sentinel = object()
+            error: list = []
 
             def worker():
                 try:
@@ -359,6 +360,8 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                         if i >= max_iter:
                             break
                         q.put(raw)
+                except BaseException as e:  # noqa: BLE001 — propagated below
+                    error.append(e)
                 finally:
                     q.put(sentinel)
 
@@ -367,6 +370,10 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
             while True:
                 raw = q.get()
                 if raw is sentinel:
+                    if error:
+                        # a dead data worker must fail the run, not end it
+                        # silently as if training completed
+                        raise error[0]
                     return
                 k, sub = jax.random.split(k)
                 yield fuse(*[jnp.asarray(x) for x in raw], sub)
