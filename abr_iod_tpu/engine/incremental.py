@@ -101,17 +101,19 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
                        cfg, anchors, n_old_classes: int):
     """Student losses + distillation for one batch."""
     dist_type = str(cfg.DIST.TYPE)
-    # the student's re-scoring of the teacher's proposals
-    # (generalized_rcnn.py:66-68) rides in the SAME box-head pass as the
-    # sampled RoIs — one res5 invocation over S+K boxes
     frcnn_total, metrics, aux = forward_detection_losses(
         model, params, batch, key, cfg, anchors,
         dist_type=dist_type, n_old_classes=n_old_classes,
-        extra_rois=teacher.boxes,
     )
-    t_cls = aux["extra_cls_logits"]
-    t_reg = aux["extra_box_reg"]
-    roi_feats_student = aux["extra_roi_features"]
+
+    # student re-scores the teacher's proposals in a SEPARATE box-head
+    # pass (generalized_rcnn.py:66-68).  Fusing it into the sampled-RoI
+    # pass (one 576-RoI res5 call via extra_rois) measured 36.1 vs 44.5
+    # img/s/chip — 576 breaks the MXU-friendly 512 tiling and XLA
+    # pipelines the small second pass better (BASELINE.md round-2 notes).
+    t_cls, t_reg, roi_feats_student, _ = model.apply(
+        params, aux["features"], teacher.boxes, method="roi_heads"
+    )
     bsz, keep = teacher.boxes.shape[:2]
     c_new = t_cls.shape[-1]
     prop_valid = teacher.valid.reshape(bsz * keep)
