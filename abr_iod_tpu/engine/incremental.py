@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..distillation import losses as D
-from ..models.anchors import anchors_for_shape, grid_anchors
+from ..models.anchors import anchors_for_shape
 from ..models.proposals import select_proposals, effective_top_n
 from ..models.rpn import flatten_rpn_outputs
 from .train import Batch, TrainState, forward_detection_losses
