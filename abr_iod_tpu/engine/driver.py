@@ -511,7 +511,32 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         gathered = comm.all_gather_objects((predictions, ground_truths))
         predictions = [p for g in gathered for p in g[0]]
         ground_truths = [g_ for g in gathered for g_ in g[1]]
-    result = eval_detection_voc(predictions, ground_truths)
+    # protocol dispatch like the reference's per-dataset evaluation
+    # (data/datasets/evaluation/__init__.py): COCO-json datasets score
+    # with the COCO protocol, everything else with VOC AP
+    factories = {
+        DatasetCatalog.get(n).get("factory", "PascalVOCDataset")
+        for n in tuple(cfg.DATASETS.TEST)
+        if n in DatasetCatalog.DATASETS
+    }
+    if factories == {"COCODataset"}:
+        from ..evaluation.coco_eval import eval_detection_coco
+
+        coco = eval_detection_coco(predictions, ground_truths)
+        logger.info(
+            f"COCO eval: AP={coco['AP']:.4f} AP50={coco['AP50']:.4f} "
+            f"AP75={coco['AP75']:.4f}"
+        )
+        # keep the VOC-shaped surface for the ledger/gate: map = AP50
+        # (the reference's VOC-protocol comparable number); full COCO
+        # metrics ride alongside
+        n_lab = max(coco["per_class"], default=0) + 1
+        ap = np.full(n_lab, np.nan)
+        for l, v in coco["per_class"].items():
+            ap[l] = v
+        result = {"map": coco["AP"], "ap": ap, "coco": coco}
+    else:
+        result = eval_detection_voc(predictions, ground_truths)
     if seg_predictions:
         # instance-seg AP alongside box AP (reference voc_eval_inst)
         from ..evaluation.voc_eval_inst import eval_instance_seg_voc
@@ -525,7 +550,8 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         f"mAP={result['map']:.4f}"
     )
     per_class = {
-        VOC_CLASSES[l - 1]: float(result["ap"][l])
+        (VOC_CLASSES[l - 1] if l - 1 < len(VOC_CLASSES) else f"class{l}"):
+            float(result["ap"][l])
         for l in range(1, len(result["ap"]))
         if not np.isnan(result["ap"][l])
     }

@@ -105,3 +105,91 @@ def test_check_expected_results_gate():
     check_expected_results(res, [("AP", 0.52, 0.02)], sigma_tol=2)
     with pytest.raises(AssertionError):
         check_expected_results(res, [("AP", 0.6, 0.01)], sigma_tol=4)
+
+
+def test_run_test_dispatches_coco_protocol(tmp_path):
+    """run_test on a COCODataset TEST entry scores with the COCO protocol
+    (reference data/datasets/evaluation/__init__.py dispatch)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.config.catalog import DatasetCatalog
+    from abr_iod_tpu.engine.driver import run_test
+    from abr_iod_tpu.models import FasterRCNN
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    r = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(2):
+        Image.fromarray(r.randint(0, 255, (96, 128, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        images.append({"id": i, "file_name": f"{i}.jpg", "height": 96,
+                       "width": 128})
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+            "bbox": [10, 10, 40, 50], "area": 2000,
+        })
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"},
+                       {"id": 2, "name": "bicycle"}],
+    }))
+
+    cfg = get_default_config()
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 3
+    cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = ()
+    cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = ("person", "bicycle")
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.RES5_BLOCKS = 1
+    cfg.TPU.RES5_BOTTLENECK = 16
+    cfg.TPU.RES5_OUT = 32
+    cfg.TPU.CANVAS_TEST = (96, 128)
+    cfg.TPU.CANVAS_TRAIN = (96, 128)
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 128
+    cfg.TPU.MAX_GT = 8
+    cfg.TPU.PRE_NMS_TOP_N_TEST = 64
+    cfg.TPU.POST_NMS_TOP_N_TEST = 32
+    cfg.TPU.EVAL_NMS_PER_CLASS_TOPK = 8
+    cfg.TEST.IMS_PER_BATCH = 2
+    cfg.DATASETS.TEST = ("tmp_coco_eval",)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+
+    model = FasterRCNN(
+        num_classes=3, num_anchors=3, backbone_stages=(1, 1, 1),
+        width_per_group=8, res2_out_channels=16, res5_blocks=1,
+        res5_bottleneck=16, res5_out=32,
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3)),
+        jnp.zeros((1, 4, 4)) + 16.0,
+    )
+
+    old = dict(DatasetCatalog.DATASETS)
+    saved_dd = DatasetCatalog.DATA_DIR
+    try:
+        DatasetCatalog.DATASETS["tmp_coco_eval"] = {
+            "factory": "COCODataset", "data_dir": "",
+            "img_dir": str(img_dir), "ann_file": str(ann),
+        }
+        DatasetCatalog.DATA_DIR = ""
+        result = run_test(cfg, params=params)
+    finally:
+        DatasetCatalog.DATASETS = old
+        DatasetCatalog.DATA_DIR = saved_dd
+
+    assert "coco" in result
+    for k in ("AP", "AP50", "AP75", "per_class"):
+        assert k in result["coco"]
