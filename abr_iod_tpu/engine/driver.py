@@ -460,13 +460,21 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     )
 
     mask_on = bool(cfg.MODEL.MASK_ON)
+    keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
     predictions, ground_truths = [], []
     seg_predictions, seg_ground_truths = [], []
     n_done = 0
     t0 = time.time()
     for batch, records, n_valid in loader.eval_batches():
         out = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
-        dets, mask_probs = out if mask_on else (out, None)
+        if mask_on:
+            dets, mask_probs = out
+            det_kps = None
+        elif keypoint_on:
+            dets, det_kps = out
+            mask_probs = None
+        else:
+            dets, mask_probs, det_kps = out, None, None
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
@@ -478,9 +486,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
             sy = rec["height"] / float(nh)
             v = valid[i]
             b = boxes[i][v] * np.array([sx, sy, sx, sy])
-            predictions.append(
-                {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
-            )
+            pred = {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
+            if det_kps is not None:
+                # decoded keypoints, rescaled to original coords like boxes
+                kp = np.asarray(det_kps[i])[v]
+                kp[..., 0] *= sx
+                kp[..., 1] *= sy
+                pred["keypoints"] = kp
+            predictions.append(pred)
             ground_truths.append(
                 {"boxes": rec["boxes"], "labels": rec["labels"],
                  "difficult": rec["difficult"]}
@@ -556,6 +569,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         if not np.isnan(result["ap"][l])
     }
     logger.info("per-class AP: " + ", ".join(f"{k}={v:.3f}" for k, v in per_class.items()))
+
+    # per-eval result file (reference voc_eval.py:52-55 writes result.txt
+    # with the mAP summary + the raw AP vector into the output folder)
+    if cfg.OUTPUT_DIR:
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        with open(os.path.join(cfg.OUTPUT_DIR, "result.txt"), "w") as fid:
+            fid.write(f"mAP: {result['map']:.4f}\n")
+            fid.write(",".join(str(x) for x in np.asarray(result["ap"]).tolist()))
 
     # optional regression gate (the reference wires TEST.EXPECTED_RESULTS
     # only on the COCO path, coco_eval.py:436; here it guards VOC too)

@@ -45,20 +45,34 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             detections_per_img=int(cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG),
             per_class_topk=int(cfg.TPU.EVAL_NMS_PER_CLASS_TOPK),
         )
-        if not getattr(model, "mask_on", False):
-            return dets
-        # mask inference on the FINAL detections (reference roi_heads.py:
-        # 45-63 + mask_head/inference.py:12-90): pool the detected boxes,
-        # take each detection's own class channel, sigmoid
-        mask_logits = model.apply(
-            params, features, dets.boxes, method="mask_heads"
-        )  # [B, D, 2P, 2P, C]
-        per_class = jnp.take_along_axis(
-            mask_logits,
-            dets.labels.clip(0)[:, :, None, None, None].astype(jnp.int32),
-            axis=4,
-        )[..., 0]
-        return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
+        if getattr(model, "mask_on", False):
+            # mask inference on the FINAL detections (reference
+            # roi_heads.py:45-63 + mask_head/inference.py:12-90): pool the
+            # detected boxes, take each detection's own class channel, sigmoid
+            mask_logits = model.apply(
+                params, features, dets.boxes, method="mask_heads"
+            )  # [B, D, 2P, 2P, C]
+            per_class = jnp.take_along_axis(
+                mask_logits,
+                dets.labels.clip(0)[:, :, None, None, None].astype(jnp.int32),
+                axis=4,
+            )[..., 0]
+            return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
+        if getattr(model, "keypoint_on", False):
+            # keypoint decode on the final detections (reference
+            # keypoint_head/inference.py heatmaps_to_keypoints)
+            from ..models.keypoint_head import heatmaps_to_keypoints
+
+            kp_logits = model.apply(
+                params, features, dets.boxes, method="keypoint_heads"
+            )  # [B, D, H, H, K]
+            b, d = kp_logits.shape[:2]
+            kps = heatmaps_to_keypoints(
+                kp_logits.reshape((b * d,) + kp_logits.shape[2:]),
+                dets.boxes.reshape(b * d, 4),
+            )
+            return dets, kps.reshape(b, d, -1, 3)
+        return dets
 
     anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
     return eval_step, anchors

@@ -234,3 +234,47 @@ def test_mask_eval_step_and_instance_map(rng, tmp_path):
 
     assert "segm" in result
     assert np.isfinite(result["segm"]["map"]) or np.isnan(result["segm"]["map"])
+
+
+def test_keypoint_eval_decodes_keypoints(rng):
+    """KEYPOINT_ON eval step returns decoded (x, y, score) keypoints for
+    the final detections (reference keypoint_head/inference.py)."""
+    import jax
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.engine.inference import make_eval_step
+    from abr_iod_tpu.models import FasterRCNN
+
+    cfg = get_default_config()
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.TPU.PRE_NMS_TOP_N_TEST = 64
+    cfg.TPU.POST_NMS_TOP_N_TEST = 32
+    cfg.TPU.EVAL_NMS_PER_CLASS_TOPK = 8
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 10
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.0
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+
+    model = FasterRCNN(
+        num_classes=3, num_anchors=3, keypoint_on=True,
+        backbone_stages=(1, 1, 1), width_per_group=8,
+        res2_out_channels=16, res5_blocks=1, res5_bottleneck=16, res5_out=32,
+    )
+    canvas = (64, 96)
+    pixels = jnp.asarray(rng.randn(1, *canvas, 3).astype(np.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), pixels, jnp.zeros((1, 4, 4)) + 16.0
+    )
+    eval_step, _ = make_eval_step(model, cfg, canvas)
+    dets, kps = eval_step(
+        params, pixels, jnp.asarray(np.array([[64, 96]], np.int32))
+    )
+    assert kps.shape[:2] == dets.boxes.shape[:2]
+    assert kps.shape[-1] == 3  # (x, y, score)
+    v = np.asarray(dets.valid[0])
+    if v.any():
+        k = np.asarray(kps[0])[v]
+        b = np.asarray(dets.boxes[0])[v]
+        # decoded keypoints land inside their detection boxes
+        assert (k[..., 0] >= b[:, None, 0] - 1).all()
+        assert (k[..., 0] <= b[:, None, 2] + 1).all()
