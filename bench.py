@@ -146,23 +146,42 @@ def main():
     )
     fuse = make_abr_batch_fn(cfg, bank)
 
+    # BENCH_MODE cost attribution (BASELINE.md):
+    #   abr       (default) teacher + student + distill + fusion — the recipe
+    #   noteacher first-task student step + fusion (isolates teacher+distill)
+    #   first     first-task student step, fusion run ONCE outside the loop
+    #             (isolates the on-device mixup/mosaic cost)
+    mode = os.environ.get("BENCH_MODE", "abr")
+
     with jax.sharding.set_mesh(mesh):
         teacher_params = shard_params(mesh, teacher_params)
         student_params = shard_params(mesh, student_params)
         state = TrainState(student_params, tx.init(student_params),
                            jnp.zeros((), jnp.int32))
-        step_fn, _ = make_incremental_train_step(
-            model_teacher, model_student, tx, cfg, canvas, n_old_classes=15
-        )
+        if mode == "abr":
+            step_fn, _ = make_incremental_train_step(
+                model_teacher, model_student, tx, cfg, canvas, n_old_classes=15
+            )
+        else:
+            from abr_iod_tpu.engine.train import make_train_step
+
+            first_step, _ = make_train_step(model_student, tx, cfg, canvas)
 
         raw = shard_batch(
             mesh,
             (jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(orig_sizes),
              jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_mask)),
         )
+        if mode == "first":
+            fixed_batch = fuse(*raw, jax.random.PRNGKey(0))
+            jax.block_until_ready(fixed_batch.pixels)
 
         def one_iter(state, seed):
+            if mode == "first":
+                return first_step(state, fixed_batch)
             b = fuse(*raw, jax.random.PRNGKey(seed))
+            if mode == "noteacher":
+                return first_step(state, b)
             return step_fn(state, teacher_params, b)
 
         debug = os.environ.get("BENCH_DEBUG") == "1"
@@ -192,6 +211,7 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
                 "detail": {
+                    "mode": mode,
                     "devices": n_devices,
                     "batch_per_chip": batch_per_chip,
                     "s_per_iter": round(dt / iters, 4),
