@@ -246,6 +246,9 @@ def _shard_kwargs(batch_size: int):
 def run_first_task_training(cfg, logger=None, max_iter_override=None):
     """First-task / joint training (tools/train_first_step.py:35-116)."""
     logger = logger or setup_logger("abr_iod_tpu.first", cfg.OUTPUT_DIR)
+    from ..utils.misc import collect_env_info
+
+    logger.info("environment:\n" + collect_env_info())
     mesh = _mesh_from_cfg(cfg, int(cfg.SOLVER.IMS_PER_BATCH))
     model = build_detection_model(cfg)
     params = load_params(cfg, model, logger)
@@ -311,6 +314,9 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                              max_iter_override=None):
     """ABR incremental step (tools/train_incremental.py:184-249)."""
     logger = logger or setup_logger("abr_iod_tpu.incremental", cfg_target.OUTPUT_DIR)
+    from ..utils.misc import collect_env_info
+
+    logger.info("environment:\n" + collect_env_info())
     mesh = _mesh_from_cfg(cfg_target, int(cfg_target.SOLVER.IMS_PER_BATCH))
     model_teacher = build_detection_model(cfg_source)
     model_student = build_detection_model(cfg_target)

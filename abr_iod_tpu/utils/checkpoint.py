@@ -10,8 +10,12 @@ Reference equivalents:
     new one — the mechanism that grows a 16-class head into a 21-class
     head.  Here it is explicit pytree surgery.
 
-Storage is orbax when available, with a msgpack (flax.serialization)
-fallback — both are pure-pytree, no pickled code.
+Storage is msgpack (flax.serialization) — single-file, pure-pytree
+(no pickled code), and path-compatible with the config tree's
+``model_{final,trimmed}.msgpack`` pointers.  Orbax would buy async/
+sharded saves for pod-scale runs; at this model size (~180MB) the
+synchronous single-file write is <1s and keeps the reference's
+file-per-checkpoint layout.
 """
 
 from __future__ import annotations
