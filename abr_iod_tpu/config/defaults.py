@@ -231,6 +231,10 @@ _C.TPU.PRE_NMS_TOP_N_TRAIN = 2048
 _C.TPU.PRE_NMS_TOP_N_TEST = 2048
 _C.TPU.POST_NMS_TOP_N_TRAIN = 512
 _C.TPU.POST_NMS_TOP_N_TEST = 512
+# recall target for jax.lax.approx_max_k over the pre-NMS candidate pool
+# (avoids a full sort over every anchor; NMS itself stays exact).
+# 0 = exact lax.top_k — the parity harness and strict-parity runs use 0.
+_C.TPU.APPROX_PRE_NMS_RECALL = 0.98
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)

@@ -104,6 +104,31 @@ def _crop_scale(key, bank_orig_hw, im_mean_orig):
     return jnp.where(keep, 1.0, rnd / jnp.maximum(box_mean, 1.0))
 
 
+def _draw_crop_indices(key, n_bank: int):
+    """Pre-draw the bank indices every fusion branch COULD consume (2 for
+    the mixup attempts, 4 for the mosaic quadrants) with exactly the key
+    derivation the branches use.  Hoisting the draws lets the caller
+    gather the ≤6 needed crops per image in ONE batched gather outside
+    the vmap — vmapping ``bank.pixels[idx]`` itself makes XLA broadcast
+    the whole bank per batch element (~900 MB of HBM traffic per step on
+    the bench shapes).
+    """
+    _, k_fuse = jax.random.split(key)
+    # mixup stream (must mirror _mixup_one)
+    _, k_rest = jax.random.split(k_fuse)
+    mix_keys = jax.random.split(k_rest, 2)
+    mix_idx = jnp.stack(
+        [jax.random.randint(jax.random.split(mk, 3)[0], (), 0, n_bank) for mk in mix_keys]
+    )
+    # mosaic stream (must mirror _mosaic_one)
+    _, k_crops = jax.random.split(k_fuse)
+    mos_keys = jax.random.split(k_crops, 4)
+    mos_idx = jnp.stack(
+        [jax.random.randint(jax.random.split(mk)[0], (), 0, n_bank) for mk in mos_keys]
+    )
+    return jnp.concatenate([mix_idx, mos_idx])  # [6]
+
+
 def _mixup_one(img, size_hw, orig_hw, gt_boxes, gt_labels, gt_mask, bank: CropBank, key):
     h_valid = size_hw[0].astype(jnp.float32)
     w_valid = size_hw[1].astype(jnp.float32)
@@ -127,10 +152,10 @@ def _mixup_one(img, size_hw, orig_hw, gt_boxes, gt_labels, gt_mask, bank: CropBa
 
     state = (img, gt_boxes, gt_labels, gt_mask)
 
-    def attempt(state, k):
+    def attempt(state, xs):
+        k, idx = xs  # idx: pre-drawn slot in the per-image selected bank
         img, boxes, labels, mask = state
-        k_idx, k_scale, k_pos = jax.random.split(k, 3)
-        idx = jax.random.randint(k_idx, (), 0, bank.labels.shape[0])
+        _, k_scale, k_pos = jax.random.split(k, 3)
         scale = _crop_scale(k_scale, bank.orig_hw[idx], im_mean_orig)
         # crop size on the canvas
         ch = bank.orig_hw[idx, 0] * scale * ratio
@@ -182,7 +207,7 @@ def _mixup_one(img, size_hw, orig_hw, gt_boxes, gt_labels, gt_mask, bank: CropBa
 
     def do_mixup(state):
         keys = jax.random.split(k_rest, 2)  # 2 fusion attempts (:687-691)
-        out, _ = jax.lax.scan(attempt, state, keys)
+        out, _ = jax.lax.scan(attempt, state, (keys, jnp.arange(2)))
         return out
 
     img, boxes, labels, mask = jax.lax.cond(
@@ -213,8 +238,8 @@ def _mosaic_one(img, size_hw, orig_hw, gt_boxes, gt_labels, gt_mask,
 
     def place(i, state, k):
         canvas, boxes, labels, mask = state
-        k_idx, k_scale = jax.random.split(k)
-        idx = jax.random.randint(k_idx, (), 0, bank.labels.shape[0])
+        idx = 2 + i  # pre-drawn slot in the per-image selected bank
+        _, k_scale = jax.random.split(k)
         scale = _crop_scale(k_scale, bank.orig_hw[idx], im_mean_orig)
         ch = bank.orig_hw[idx, 0] * scale * to_canvas
         cw = bank.orig_hw[idx, 1] * scale * to_canvas
@@ -262,7 +287,7 @@ def abr_fuse_batch(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask,
     Returns (pixels, sizes, gt_boxes, gt_labels, gt_mask).
     """
 
-    def one(img, size_hw, orig_hw, boxes, labels, mask, k):
+    def one(img, size_hw, orig_hw, boxes, labels, mask, k, sel: CropBank):
         k_mode, k_fuse = jax.random.split(k)
         mode = jax.random.choice(
             k_mode, jnp.array([0, 0, 1, 2]), ()
@@ -272,18 +297,25 @@ def abr_fuse_batch(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask,
             return img, size_hw, boxes, labels, mask
 
         def mixup(_):
-            return _mixup_one(img, size_hw, orig_hw, boxes, labels, mask, bank, k_fuse)
+            return _mixup_one(img, size_hw, orig_hw, boxes, labels, mask, sel, k_fuse)
 
         def mosaic(_):
             return _mosaic_one(
-                img, size_hw, orig_hw, boxes, labels, mask, bank, k_fuse, mosaic_side
+                img, size_hw, orig_hw, boxes, labels, mask, sel, k_fuse, mosaic_side
             )
 
         return jax.lax.switch(mode, [untouched, mixup, mosaic], None)
 
     bsz = pixels.shape[0]
     keys = jax.random.split(key, bsz)
-    return jax.vmap(one)(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask, keys)
+    # ONE batched gather of the ≤6 crops each image can consume; the
+    # vmapped body then only touches its tiny per-image selection (see
+    # _draw_crop_indices for why this is hoisted)
+    idx = jax.vmap(lambda k: _draw_crop_indices(k, bank.labels.shape[0]))(keys)
+    selected = jax.tree_util.tree_map(lambda a: a[idx], bank)  # [B, 6, ...]
+    return jax.vmap(one)(
+        pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask, keys, selected
+    )
 
 
 def make_abr_batch_fn(cfg, bank: CropBank):

@@ -58,6 +58,7 @@ def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -
         post_nms_top_n=topk,
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+        approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
     )
 
     # random-keep `keep` of the top-`topk` WITHOUT replacement

@@ -34,6 +34,7 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             post_nms_top_n=effective_top_n(cfg, train=False)[1],
             nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
             min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+            approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
         )
         cls_logits, box_reg, _, _ = model.apply(
             params, features, props.boxes, method="roi_heads"

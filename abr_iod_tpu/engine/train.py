@@ -85,6 +85,7 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         post_nms_top_n=effective_top_n(cfg, train=True)[1],
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+        approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
     )
     props = append_gt_proposals(props, batch.gt_boxes, batch.gt_mask)
 

@@ -21,6 +21,8 @@ class ResNetFPNBackbone(nn.Module):
     fpn_out_channels: int = 256
     top_block: str = "maxpool"
     dtype: Any = jnp.float32
+    freeze_at: int = 0
+    freeze_all: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -29,6 +31,8 @@ class ResNetFPNBackbone(nn.Module):
             width_per_group=self.width_per_group,
             res2_out_channels=self.res2_out_channels,
             dtype=self.dtype,
+            freeze_at=self.freeze_at,
+            freeze_all=self.freeze_all,
             name="body",
         )
         _, backbone_features = body(x)  # [C2, C3, C4, C5]
@@ -47,12 +51,16 @@ def build_backbone_module(cfg):
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         str(cfg.TPU.COMPUTE_DTYPE)
     ]
+    freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
+    freeze_all = bool(cfg.MODEL.BACKBONE.FREEZE)
     if body in ("R-50-C4", "R-50-C5"):
         return ResNetC4(
             stages=tuple(cfg.TPU.BACKBONE_STAGES),
             width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
             res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
             dtype=dtype,
+            freeze_at=freeze_at,
+            freeze_all=freeze_all,
         )
     if body == "R-101-C4":
         return ResNetC4(
@@ -60,6 +68,8 @@ def build_backbone_module(cfg):
             width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
             res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
             dtype=dtype,
+            freeze_at=freeze_at,
+            freeze_all=freeze_all,
         )
     if body in ("R-50-FPN", "R-101-FPN", "R-50-FPN-RETINANET", "R-101-FPN-RETINANET"):
         stages = R101_STAGES if "101" in body else R50_STAGES
@@ -70,5 +80,7 @@ def build_backbone_module(cfg):
             fpn_out_channels=int(cfg.MODEL.RESNETS.get("BACKBONE_OUT_CHANNELS", 256)),
             top_block="p6p7" if "RETINANET" in body else "maxpool",
             dtype=dtype,
+            freeze_at=freeze_at,
+            freeze_all=freeze_all,
         )
     raise ValueError(f"unknown CONV_BODY {body!r}")

@@ -59,4 +59,6 @@ def build_detection_model(cfg):
         pooler_resolution=int(bh.POOLER_RESOLUTION),
         pooler_scale=float(tuple(bh.POOLER_SCALES)[0]),
         pooler_sampling_ratio=sampling_ratio,
+        freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
+        freeze_backbone=bool(cfg.MODEL.BACKBONE.FREEZE),
     )

@@ -46,6 +46,10 @@ class FasterRCNN(nn.Module):
     use_pallas_roi_align: bool = False
     scan_blocks: bool = False
     roi_chunk: int = 128
+    # frozen-prefix stop_gradient (MODEL.BACKBONE.FREEZE_CONV_BODY_AT /
+    # MODEL.BACKBONE.FREEZE) — must mirror solver/optim.py's masks
+    freeze_at: int = 0
+    freeze_backbone: bool = False
     # RoI pooler geometry (cfg.MODEL.ROI_BOX_HEAD.POOLER_*)
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16
@@ -58,6 +62,8 @@ class FasterRCNN(nn.Module):
             res2_out_channels=self.res2_out_channels,
             dtype=self.dtype,
             scan_blocks=self.scan_blocks,
+            freeze_at=self.freeze_at,
+            freeze_all=self.freeze_backbone,
             name="backbone",
         )
         self.rpn_head = RPNHead(

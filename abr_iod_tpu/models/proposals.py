@@ -65,10 +65,21 @@ def _select_single(
     post_nms_top_n: int,
     nms_thresh: float,
     min_size: float,
+    approx_recall: float = 0.0,
 ):
     scores = jax.nn.sigmoid(obj_logits.astype(jnp.float32))
     k = min(pre_nms_top_n, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if 0.0 < approx_recall < 1.0 and k < scores.shape[0]:
+        # TPU-native approximate top-k (avoids the full O(N log N) sort
+        # over every anchor — measured ~4% of the train step).  Only the
+        # pre-NMS candidate pool is approximate; NMS and the post-NMS
+        # ranking stay exact.  Set TPU.APPROX_PRE_NMS_RECALL=0 for the
+        # reference's exact pool (parity harness does).
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=approx_recall
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     top_deltas = deltas[top_idx]
     top_anchors = anchors[top_idx]
 
@@ -86,7 +97,10 @@ def _select_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size"),
+    static_argnames=(
+        "pre_nms_top_n", "post_nms_top_n", "nms_thresh", "min_size",
+        "approx_recall",
+    ),
 )
 def select_proposals(
     objectness,
@@ -97,6 +111,7 @@ def select_proposals(
     post_nms_top_n: int = 2000,
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
+    approx_recall: float = 0.0,
 ) -> Proposals:
     """objectness [B, HWA], box_regression [B, HWA, 4], anchors [HWA, 4],
     sizes_hw [B, 2]."""
@@ -106,6 +121,7 @@ def select_proposals(
         post_nms_top_n=post_nms_top_n,
         nms_thresh=nms_thresh,
         min_size=min_size,
+        approx_recall=approx_recall,
     )
     boxes, scores, valid = jax.vmap(fn, in_axes=(0, 0, None, 0))(
         objectness, box_regression, anchors, sizes_hw

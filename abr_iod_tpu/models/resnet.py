@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -187,10 +188,21 @@ class ResNetC4(nn.Module):
     res2_out_channels: int = 256
     dtype: Any = jnp.float32
     scan_blocks: bool = False
+    # FREEZE_CONV_BODY_AT semantics (reference resnet.py:134-143 freezes
+    # stem for freeze_at>=1 and layer{s} for s < freeze_at).  The
+    # optimizer mask (solver/optim.py) already zeroes their updates; the
+    # stop_gradient here additionally lets XLA dead-code-eliminate the
+    # whole backward segment through the frozen prefix — the reference's
+    # requires_grad=False skips that compute too.  Forward values are
+    # untouched.
+    freeze_at: int = 0
+    freeze_all: bool = False  # MODEL.BACKBONE.FREEZE
 
     @nn.compact
     def __call__(self, x):
         x = Stem(dtype=self.dtype, name="stem")(x.astype(self.dtype))
+        if self.freeze_all or self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
         backbone_features = []
         for idx, block_count in enumerate(self.stages):
             factor = 2**idx
@@ -203,6 +215,8 @@ class ResNetC4(nn.Module):
                 scan_blocks=self.scan_blocks,
                 name=f"layer{idx + 1}",
             )(x)
+            if self.freeze_all or (idx + 1) < self.freeze_at:
+                x = jax.lax.stop_gradient(x)
             backbone_features.append(x)
         return x, backbone_features
 

@@ -17,15 +17,21 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
-def _rank_by_random(flag: jnp.ndarray, key) -> jnp.ndarray:
-    """Random strict ranking within `flag` slots: 0..k-1 for the k True
-    slots in uniformly random order; large values elsewhere."""
+def _sample_flagged_mask(flag, key, k_max: int, num):
+    """Mask selecting ``num`` uniformly-random True slots of ``flag``.
+
+    Uses top-k over iid uniform keys — exactly uniform (any size-``num``
+    subset of the flagged slots is equally likely, by exchangeability of
+    continuous iid keys) and far cheaper than a full argsort when
+    ``k_max << N`` (the RPN samples 256 of 65k anchors; the argsort
+    formulation was ~4% of the train step).  Requires num <= k_max.
+    """
     n = flag.shape[0]
     r = jax.random.uniform(key, (n,))
-    score = jnp.where(flag, r, 2.0 + jnp.arange(n) / n)  # non-flag sink to end
-    order = jnp.argsort(score)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return jnp.where(flag, rank, n)
+    score = jnp.where(flag, r, -1.0)
+    _, idx = jax.lax.top_k(score, min(k_max, n))
+    sel = jnp.arange(min(k_max, n)) < num  # flagged count >= num by construction
+    return jnp.zeros((n,), bool).at[idx].set(sel, mode="drop")
 
 
 def balanced_sample_masks(labels, key, batch_size: int, positive_fraction: float):
@@ -42,9 +48,9 @@ def balanced_sample_masks(labels, key, batch_size: int, positive_fraction: float
     num_neg = jnp.minimum(
         jnp.sum(negative.astype(jnp.int32)), batch_size - num_pos
     )
-    pos_rank = _rank_by_random(positive, kp)
-    neg_rank = _rank_by_random(negative, kn)
-    return pos_rank < num_pos, neg_rank < num_neg
+    pos_mask = _sample_flagged_mask(positive, kp, max_pos, num_pos)
+    neg_mask = _sample_flagged_mask(negative, kn, batch_size, num_neg)
+    return pos_mask, neg_mask
 
 
 class RoiSample(NamedTuple):

@@ -112,16 +112,32 @@ def roi_align(
         a_x = a_x.astype(features.dtype)
         acc_dtype = features.dtype
 
+    # Contract the LONGER feature axis first: the [r, P, ·, C]
+    # intermediate then carries the shorter axis, cutting its HBM
+    # traffic by the aspect ratio (e.g. 38% on the 52x84 landscape C4
+    # map).  Both orders compute the identical sum; this is pure
+    # bandwidth engineering (the intermediate is the profile's top HBM
+    # consumer at ~18% of the train step).
     def chunk_fn(args):
         ay, ax = args  # [r, P, H], [r, P, W]
-        tmp = jnp.einsum(
-            "rph,hwc->rpwc", ay, feat, precision=precision,
-            preferred_element_type=acc_dtype,
-        )
-        out = jnp.einsum(
-            "rqw,rpwc->rpqc", ax, tmp, precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        if W >= H:
+            tmp = jnp.einsum(
+                "rqw,hwc->rqhc", ax, feat, precision=precision,
+                preferred_element_type=acc_dtype,
+            )
+            out = jnp.einsum(
+                "rph,rqhc->rpqc", ay, tmp, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            tmp = jnp.einsum(
+                "rph,hwc->rpwc", ay, feat, precision=precision,
+                preferred_element_type=acc_dtype,
+            )
+            out = jnp.einsum(
+                "rqw,rpwc->rpqc", ax, tmp, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
         return out
 
     if R <= roi_chunk:
