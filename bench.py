@@ -151,7 +151,40 @@ def main():
     #   noteacher first-task student step + fusion (isolates teacher+distill)
     #   first     first-task student step, fusion run ONCE outside the loop
     #             (isolates the on-device mixup/mosaic cost)
+    #   eval      FULL detection inference pipeline (backbone -> RPN ->
+    #             proposal NMS -> RoI head -> per-class NMS -> top-100)
     mode = os.environ.get("BENCH_MODE", "abr")
+
+    if mode == "eval":
+        from abr_iod_tpu.engine.inference import make_eval_step
+
+        eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "4")) * n_devices
+        cfg.TEST.IMS_PER_BATCH = eval_batch
+        cfg.TPU.CANVAS_TEST = canvas
+        with jax.sharding.set_mesh(mesh):
+            student_params = shard_params(mesh, student_params)
+            eval_step, _ = make_eval_step(model_student, cfg, canvas)
+            px = shard_batch(mesh, jnp.asarray(pixels[:eval_batch]))
+            sz = shard_batch(mesh, jnp.asarray(sizes[:eval_batch]))
+            dets = eval_step(student_params, px, sz)
+            float(dets.scores[0, 0])  # true sync (see train loop note)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                dets = eval_step(student_params, px, sz)
+            float(dets.scores[0, 0])
+            dt = time.perf_counter() - t0
+        per_chip = eval_batch * iters / dt / n_devices
+        print(json.dumps({
+            "metric": "voc_eval_inference_throughput",
+            "value": round(per_chip, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+            "detail": {"mode": mode, "devices": n_devices,
+                       "batch_per_chip": eval_batch // n_devices,
+                       "s_per_img": round(dt / iters / eval_batch, 5),
+                       "canvas": list(canvas)},
+        }))
+        return
 
     with jax.sharding.set_mesh(mesh):
         teacher_params = shard_params(mesh, teacher_params)
@@ -190,7 +223,11 @@ def main():
             if debug:
                 print(f"warmup {i}: " + str({k: float(v) for k, v in metrics.items()}),
                       flush=True)
-        jax.block_until_ready(metrics["loss"])
+        # sync via an actual host readback: through remote-TPU transports
+        # (axon tunnel) jax.block_until_ready can resolve before the device
+        # work completes, silently turning the timed loop into a dispatch
+        # benchmark — a float() fetch is a true round-trip
+        float(metrics["loss"])
 
         t0 = time.perf_counter()
         for i in range(iters):
@@ -198,7 +235,7 @@ def main():
             if debug:
                 print(f"iter {i}: loss=" + str(float(metrics["loss"])) + " distill="
                       + str(float(metrics["distillation_loss"])), flush=True)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # true sync (see above)
         dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt
