@@ -156,13 +156,57 @@ class _BottleneckScanBody(nn.Module):
         return y, None
 
 
-class Stem(nn.Module):
-    out_channels: int = 64
+class _StemConvS2D(nn.Module):
+    """The stem's 7x7/2 conv computed via space-to-depth.
+
+    A 3-input-channel conv wastes the MXU (3 of 128 lanes); folding a 2x2
+    pixel block into channels ([B,H,W,3] -> [B,H/2,W/2,12]) and applying
+    the equivalent 4x4/1 kernel computes the IDENTICAL sum with 4x the
+    lane utilization (the MLPerf-ResNet conv0 trick).  The parameter
+    keeps the reference's [7,7,3,O] shape — checkpoints, the Caffe2/torch
+    weight converter and the parity harness are unaffected:
+
+        out[p,q,o] = sum_{ky,kx,c} k[ky,kx,c,o] * x[2p+ky-3, 2q+kx-3, c]
+                   = sum_{m,n,dy,dx,c} k[2m+dy-1, 2n+dx-1, c, o]
+                                       * z[p+m-2, q+n-2, (dy,dx,c)]
+    """
+
+    features: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.out_channels, 7, 2, "conv1", self.dtype)(x)
+        k = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (7, 7, 3, self.features),
+        )
+        b, h, w, c = x.shape
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        kp = jnp.pad(k, ((1, 1), (1, 1), (0, 0), (0, 0)))  # rows -1..7 -> 0..8
+        w2 = kp[:8, :8].reshape(4, 2, 4, 2, c, self.features)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            z.astype(self.dtype),
+            w2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class Stem(nn.Module):
+    out_channels: int = 64
+    dtype: Any = jnp.float32
+    space_to_depth: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _StemConvS2D(self.out_channels, self.dtype, name="conv1")(x)
+        else:
+            x = _conv(self.out_channels, 7, 2, "conv1", self.dtype)(x)
         x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         # maxpool 3x3 stride 2 pad 1 (torch semantics)

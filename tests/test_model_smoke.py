@@ -46,3 +46,43 @@ def test_faster_rcnn_mask_and_keypoint_variants():
     feats, _ = model.apply(params, pixels, method="backbone")
     m = model.apply(params, feats, rois, method="mask_heads")
     assert m.shape == (1, 2, 14, 14, 4)
+
+
+def test_frozen_prefix_stop_gradient():
+    """FREEZE_CONV_BODY_AT prefixes must (a) leave the forward untouched
+    and (b) yield exactly-zero gradients for the frozen stem/layer params
+    (the reference's requires_grad=False — resnet.py:134-143; here a
+    stop_gradient lets XLA skip the dead backward segment)."""
+    from abr_iod_tpu.models.resnet import ResNetC4
+
+    def mk(freeze_at):
+        return ResNetC4(stages=(1, 1, 1), width_per_group=8,
+                        res2_out_channels=16, freeze_at=freeze_at)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 96, 3))
+    m0, m2 = mk(0), mk(2)
+    params = m0.init(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x)[0] ** 2)
+
+    v0, g0 = jax.value_and_grad(loss(m0))(params)
+    v2, g2 = jax.value_and_grad(loss(m2))(params)
+    assert float(v0) == float(v2)  # stop_gradient is forward-identity
+
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_flatten_with_path(g2)[0]}
+    checked_frozen = checked_live = 0
+    for k, v in flat0:
+        ks = jax.tree_util.keystr(k)
+        if "stem" in ks or "layer1" in ks:
+            assert float(np.abs(flat2[ks]).max()) == 0.0, ks
+            checked_frozen += 1
+        else:
+            np.testing.assert_allclose(
+                np.asarray(flat2[ks]), np.asarray(v), rtol=1e-6, atol=1e-8,
+                err_msg=ks,
+            )
+            checked_live += 1
+    assert checked_frozen and checked_live
