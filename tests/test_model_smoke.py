@@ -86,3 +86,28 @@ def test_frozen_prefix_stop_gradient():
             )
             checked_live += 1
     assert checked_frozen and checked_live
+
+
+def test_stem_space_to_depth_equivalence():
+    """The space-to-depth stem conv must compute the plain 7x7/2 conv's
+    exact sum from the SAME [7,7,3,64] parameter (models/resnet.py
+    _StemConvS2D; MXU lane-utilization optimization, not a semantic
+    change)."""
+    from abr_iod_tpu.models.resnet import Stem
+
+    rng = np.random.RandomState(0)
+    for h, w in [(64, 96), (128, 128)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        plain = Stem(space_to_depth=False)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(rng.randn(*a.shape), jnp.float32)
+            if a.ndim == 4 else a,
+            params,
+        )
+        y_plain = plain.apply(params, x)
+        y_s2d = Stem(space_to_depth=True).apply(params, x)
+        assert y_plain.shape == y_s2d.shape
+        np.testing.assert_allclose(
+            np.asarray(y_s2d), np.asarray(y_plain), atol=1e-4, rtol=1e-5
+        )
