@@ -231,6 +231,10 @@ _C.TPU.PRE_NMS_TOP_N_TRAIN = 2048
 _C.TPU.PRE_NMS_TOP_N_TEST = 2048
 _C.TPU.POST_NMS_TOP_N_TRAIN = 512
 _C.TPU.POST_NMS_TOP_N_TEST = 512
+# compute the frozen backbone prefix once per incremental step when the
+# teacher's and student's prefix weights are value-identical (they are,
+# by checkpoint chaining + zero updates; verified host-side, not assumed)
+_C.TPU.SHARE_FROZEN_PREFIX = True
 # recall target for jax.lax.approx_max_k over the pre-NMS candidate pool
 # (avoids a full sort over every anchor; NMS itself stays exact).
 # 0 = exact lax.top_k — the parity harness and strict-parity runs use 0.

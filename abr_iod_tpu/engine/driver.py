@@ -27,7 +27,7 @@ from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from ..solver.optim import make_optimizer
 from ..utils.checkpoint import Checkpointer, align_and_update_params
 from ..utils.logging import MetricLogger, ScalarWriter, setup_logger
-from .incremental import make_incremental_train_step
+from .incremental import make_incremental_train_step, prefix_params_equal
 from .inference import make_eval_step
 from .train import Batch, TrainState, make_train_step
 
@@ -396,8 +396,17 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         state, start_iter = _restore_or_init_state(
             checkpointer, tx, student_params, logger
         )
+        share_prefix = bool(cfg_target.TPU.get("SHARE_FROZEN_PREFIX", True)) and (
+            prefix_params_equal(student_params, teacher_params, cfg_target)
+        )
+        if share_prefix:
+            logger.info(
+                "teacher/student frozen backbone prefix is value-identical — "
+                "computing it once per step (TPU.SHARE_FROZEN_PREFIX)"
+            )
         step_fn, _ = make_incremental_train_step(
-            model_teacher, model_student, tx, cfg_target, canvas, n_old
+            model_teacher, model_student, tx, cfg_target, canvas, n_old,
+            share_frozen_prefix=share_prefix,
         )
         meters = MetricLogger()
         t0 = time.time()

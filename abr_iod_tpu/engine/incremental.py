@@ -163,16 +163,85 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
     return total, metrics
 
 
+def frozen_prefix_child_names(cfg) -> tuple:
+    """Backbone children frozen in BOTH teacher and student: stem + layers
+    below FREEZE_CONV_BODY_AT (reference resnet.py:134-143), or every
+    stage under BACKBONE.FREEZE."""
+    freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
+    if bool(cfg.MODEL.BACKBONE.get("FREEZE", False)):
+        n_stages = len(tuple(cfg.TPU.BACKBONE_STAGES))
+        return ("stem",) + tuple(f"layer{s}" for s in range(1, n_stages + 1))
+    names = [] if freeze_at < 1 else ["stem"]
+    names += [f"layer{s}" for s in range(1, freeze_at)]
+    return tuple(names)
+
+
+def prefix_params_equal(student_params, teacher_params, cfg) -> bool:
+    """Host-side gate for the shared-frozen-prefix optimization: True iff
+    the student's frozen backbone prefix is value-identical to the
+    teacher's (guaranteed by checkpoint chaining — the student is
+    initialized from the teacher and the prefix receives zero updates —
+    but verified rather than assumed)."""
+    import numpy as np
+
+    names = frozen_prefix_child_names(cfg)
+    if not names:
+        return False
+    try:
+        sb = student_params["params"]["backbone"]
+        tb = teacher_params["params"]["backbone"]
+    except (KeyError, TypeError):
+        return False
+    for n in names:
+        if n not in sb or n not in tb:
+            return False
+        sl = jax.tree_util.tree_leaves(sb[n])
+        tl = jax.tree_util.tree_leaves(tb[n])
+        if len(sl) != len(tl):
+            return False
+        for a, b in zip(sl, tl):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.shape != b.shape or not np.array_equal(a, b):
+                return False
+    return True
+
+
+def _substitute_prefix(student_params, teacher_params, names):
+    """Alias the student's frozen backbone prefix to the teacher's leaves
+    (value-identical by the prefix_params_equal gate).  Inside the fused
+    jit program both forwards then read the SAME parameter instructions,
+    so XLA's CSE merges the duplicated stem/layer computation — the
+    teacher and student no longer each pay for the frozen prefix."""
+    col = dict(student_params["params"])
+    bb = dict(col["backbone"])
+    for n in names:
+        bb[n] = teacher_params["params"]["backbone"][n]
+    col["backbone"] = bb
+    out = dict(student_params)
+    out["params"] = col
+    return type(student_params)(out) if not isinstance(student_params, dict) else out
+
+
 def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw,
-                                n_old_classes: int, stride: int = 16):
+                                n_old_classes: int, stride: int = 16,
+                                share_frozen_prefix: bool = False):
     """Build the fused teacher+student jit step.
 
     Returns step(state, teacher_params, batch) → (state, metrics).
+
+    share_frozen_prefix: caller asserts (via prefix_params_equal) that the
+    student's frozen backbone prefix equals the teacher's; the step then
+    computes that prefix once for both models.  Gradients for the prefix
+    are structural zeros either way (stop_gradient in ResNetC4).
     """
-    def loss_fn(params, teacher, batch, key):
+    prefix_names = frozen_prefix_child_names(cfg) if share_frozen_prefix else ()
+
+    def loss_fn(params, teacher_params, teacher, batch, key):
         anchors = anchors_for_shape(
             cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
         )
+        if prefix_names:
+            params = _substitute_prefix(params, teacher_params, prefix_names)
         return incremental_losses(
             model_student, params, teacher, batch, key, cfg, anchors, n_old_classes
         )
@@ -192,7 +261,7 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
         )
         teacher = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, teacher, batch, k_student
+            state.params, teacher_params, teacher, batch, k_student
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(

@@ -192,8 +192,14 @@ def main():
         state = TrainState(student_params, tx.init(student_params),
                            jnp.zeros((), jnp.int32))
         if mode == "abr":
+            from abr_iod_tpu.engine.incremental import prefix_params_equal
+
+            share = bool(cfg.TPU.get("SHARE_FROZEN_PREFIX", True)) and (
+                prefix_params_equal(student_params, teacher_params, cfg)
+            )
             step_fn, _ = make_incremental_train_step(
-                model_teacher, model_student, tx, cfg, canvas, n_old_classes=15
+                model_teacher, model_student, tx, cfg, canvas, n_old_classes=15,
+                share_frozen_prefix=share,
             )
         else:
             from abr_iod_tpu.engine.train import make_train_step

@@ -148,3 +148,44 @@ def test_ard_zero_for_identical_maps(rng):
     assert float(D.attentive_roi_distillation_loss(f, f)) == 0.0
     g = jnp.asarray(rng.randn(4, 3, 3, 8).astype(np.float32))
     assert float(D.attentive_roi_distillation_loss(f, g)) > 0
+
+
+def test_shared_frozen_prefix_step_identical(rng):
+    """TPU.SHARE_FROZEN_PREFIX computes the frozen stem/layer prefix once
+    for teacher+student; when the prefixes are value-identical (the gate,
+    engine/incremental.py prefix_params_equal) the step must produce
+    EXACTLY the same loss and updated params as the unshared program."""
+    from abr_iod_tpu.engine.incremental import prefix_params_equal
+
+    cfg = tiny_cfg()
+    cfg.TPU.SOFTEN_TOPK = 16
+    cfg.TPU.SOFTEN_KEEP = 8
+    cfg.DIST.TYPE = "id"
+    cfg.DIST.FEAT = "ard"
+    cfg.DIST.RPN = True
+
+    teacher_model = tiny_model(num_classes=3)
+    student_model = tiny_model(num_classes=5)
+    teacher_params = _init_params(teacher_model)
+    student_params = align_and_update_params(
+        _init_params(student_model), teacher_params
+    )
+    assert prefix_params_equal(student_params, teacher_params, cfg)
+
+    tx = make_optimizer(cfg, student_params)
+    batch = synth_batch(rng, b=2)
+    results = []
+    for share in (False, True):
+        state = TrainState(student_params, tx.init(student_params),
+                           jnp.zeros((), jnp.int32))
+        step, _ = make_incremental_train_step(
+            teacher_model, student_model, tx, cfg, CANVAS, n_old_classes=2,
+            share_frozen_prefix=share,
+        )
+        state, metrics = step(state, teacher_params, batch)
+        results.append((float(metrics["loss"]), jax.device_get(state.params)))
+
+    (l0, p0), (l1, p1) = results
+    assert l0 == l1, (l0, l1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
