@@ -332,6 +332,12 @@ def make_abr_batch_fn(cfg, bank: CropBank):
     mosaic_side = int(min(int(cfg.INPUT.MIN_SIZE_TRAIN[0]), canvas[0], canvas[1]))
     pixel_mean = jnp.asarray(cfg.INPUT.PIXEL_MEAN, jnp.float32)
     to_bgr = bool(cfg.INPUT.TO_BGR255)
+    # emit pixels in the compute dtype: the model's first op casts to it
+    # anyway, and bf16's ~1-level quantization at intensity 255 matches the
+    # reference's uint8 PIL compositing; halves the fused batch's HBM
+    # traffic.  f32 compute keeps f32 pixels.
+    out_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "float16": jnp.float16}[str(cfg.TPU.COMPUTE_DTYPE)]
     bank_on_device = jax.device_put(bank)
 
     @jax.jit
@@ -343,7 +349,7 @@ def make_abr_batch_fn(cfg, bank: CropBank):
         )
         if to_bgr:
             px = px[..., ::-1]
-        px = px - pixel_mean
+        px = (px - pixel_mean).astype(out_dtype)
         return Batch(px, sz, bx, lb, mk)
 
     def fuse(pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask, key):
