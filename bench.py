@@ -90,6 +90,8 @@ def main():
         cfg.TPU.ROI_CHUNK = int(os.environ["BENCH_ROI_CHUNK"])
     if os.environ.get("BENCH_SCAN") == "1":
         cfg.TPU.SCAN_BLOCKS = True
+    if os.environ.get("BENCH_APPROX_RECALL") is not None:
+        cfg.TPU.APPROX_PRE_NMS_RECALL = float(os.environ["BENCH_APPROX_RECALL"])
     if os.environ.get("BENCH_PRE_NMS"):
         cfg.TPU.PRE_NMS_TOP_N_TRAIN = int(os.environ["BENCH_PRE_NMS"])
         cfg.TPU.PRE_NMS_TOP_N_TEST = int(os.environ["BENCH_PRE_NMS"])
