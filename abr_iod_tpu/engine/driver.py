@@ -396,8 +396,11 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         state, start_iter = _restore_or_init_state(
             checkpointer, tx, student_params, logger
         )
+        # gate on the params that will actually train (a RESUMED state could
+        # carry a prefix from a different source checkpoint than this run's
+        # teacher — check the restored tree, not the freshly-loaded one)
         share_prefix = bool(cfg_target.TPU.get("SHARE_FROZEN_PREFIX", True)) and (
-            prefix_params_equal(student_params, teacher_params, cfg_target)
+            prefix_params_equal(state.params, teacher_params, cfg_target)
         )
         if share_prefix:
             logger.info(
