@@ -115,12 +115,13 @@ def roi_align(
     # Contract the LONGER feature axis first: the [r, P, ·, C]
     # intermediate then carries the shorter axis, cutting its HBM
     # traffic by the aspect ratio (e.g. 38% on the 52x84 landscape C4
-    # map).  Both orders compute the identical sum; this is pure
-    # bandwidth engineering (the intermediate is the profile's top HBM
-    # consumer at ~18% of the train step).
+    # map).  Both orders compute the same mathematical sum; float
+    # associativity differs at the ulp level between them, so the
+    # 'highest'-precision parity path keeps ONE fixed order regardless
+    # of orientation (bit-stable across landscape/transposed canvases).
     def chunk_fn(args):
         ay, ax = args  # [r, P, H], [r, P, W]
-        if W >= H:
+        if W >= H and precision != "highest":
             tmp = jnp.einsum(
                 "rqw,hwc->rqhc", ax, feat, precision=precision,
                 preferred_element_type=acc_dtype,

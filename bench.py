@@ -163,11 +163,15 @@ def main():
         eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "4")) * n_devices
         cfg.TEST.IMS_PER_BATCH = eval_batch
         cfg.TPU.CANVAS_TEST = canvas
+        # dedicated eval batch — pixels[] above is sized by the TRAIN batch
+        # knob and silently truncating it would misreport throughput
+        eval_px = rng.uniform(96, 160, (eval_batch, *canvas, 3)).astype(np.float32)
+        eval_sz = np.tile(np.array([[800, 1333]], np.int32), (eval_batch, 1))
         with jax.sharding.set_mesh(mesh):
             student_params = shard_params(mesh, student_params)
             eval_step, _ = make_eval_step(model_student, cfg, canvas)
-            px = shard_batch(mesh, jnp.asarray(pixels[:eval_batch]))
-            sz = shard_batch(mesh, jnp.asarray(sizes[:eval_batch]))
+            px = shard_batch(mesh, jnp.asarray(eval_px))
+            sz = shard_batch(mesh, jnp.asarray(eval_sz))
             dets = eval_step(student_params, px, sz)
             float(dets.scores[0, 0])  # true sync (see train loop note)
             t0 = time.perf_counter()

@@ -96,3 +96,39 @@ def test_mosaic_boxes_have_bank_labels_and_min_size(rng):
                 # reference drops boxes ≤2 px (voc_abr.py:797-801)
                 assert ((v[:, 2] - v[:, 0]) > 2.0).all()
                 assert ((v[:, 3] - v[:, 1]) > 2.0).all()
+
+
+def test_crop_index_predraw_mirrors_branch_key_streams():
+    """_draw_crop_indices must reproduce EXACTLY the key-split chains the
+    mixup/mosaic branches use (data/abr_fusion.py): the pre-gather
+    optimization relies on it.  If someone adds/removes a split in
+    _mixup_one/_mosaic_one without updating _draw_crop_indices, crop
+    choice silently desyncs from (and can correlate with) the
+    scale/position draws — this pin makes that edit fail loudly."""
+    import jax
+    import jax.numpy as jnp
+    from abr_iod_tpu.data.abr_fusion import _draw_crop_indices
+
+    n_bank = 77
+    for seed in range(5):
+        k = jax.random.PRNGKey(seed)
+        idx = _draw_crop_indices(k, n_bank)
+
+        # independent re-derivation following the branch code line by line
+        _, k_fuse = jax.random.split(k)
+        # mixup (_mixup_one): k_lambda, k_rest = split(k_fuse);
+        # attempt keys = split(k_rest, 2); per attempt split(k, 3)[0]
+        _, k_rest = jax.random.split(k_fuse)
+        mix = [
+            jax.random.randint(jax.random.split(mk, 3)[0], (), 0, n_bank)
+            for mk in jax.random.split(k_rest, 2)
+        ]
+        # mosaic (_mosaic_one): k_center, k_crops = split(k_fuse);
+        # quadrant keys = split(k_crops, 4); per quadrant split(k)[0]
+        _, k_crops = jax.random.split(k_fuse)
+        mos = [
+            jax.random.randint(jax.random.split(mk)[0], (), 0, n_bank)
+            for mk in jax.random.split(k_crops, 4)
+        ]
+        expected = jnp.stack(mix + mos)
+        assert (idx == expected).all(), (seed, idx, expected)
