@@ -37,6 +37,12 @@ _C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
 _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
 _C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 1024
 _C.MODEL.RESNETS.RES5_DILATION = 1
+# reference resnet.py:92 TRANS_FUNC registry + DCN config (defaults.py:306-319)
+_C.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithFixedBatchNorm"
+_C.MODEL.RESNETS.STEM_FUNC = "StemWithFixedBatchNorm"
+_C.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, False, False)
+_C.MODEL.RESNETS.WITH_MODULATED_DCN = False
+_C.MODEL.RESNETS.DEFORMABLE_GROUPS = 1
 
 # RetinaNet (reference config/defaults.py:321-381, Detectron convention)
 _C.MODEL.RETINANET = CN()

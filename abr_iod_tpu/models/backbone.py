@@ -53,6 +53,11 @@ def build_backbone_module(cfg):
     ]
     freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
     freeze_all = bool(cfg.MODEL.BACKBONE.FREEZE)
+    resnet_kw = dict(
+        num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
+        stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
+        stem_out_channels=int(cfg.MODEL.RESNETS.get("STEM_OUT_CHANNELS", 64)),
+    )
     if body in ("R-50-C4", "R-50-C5"):
         return ResNetC4(
             stages=tuple(cfg.TPU.BACKBONE_STAGES),
@@ -61,6 +66,7 @@ def build_backbone_module(cfg):
             dtype=dtype,
             freeze_at=freeze_at,
             freeze_all=freeze_all,
+            **resnet_kw,
         )
     if body == "R-101-C4":
         return ResNetC4(
@@ -70,6 +76,7 @@ def build_backbone_module(cfg):
             dtype=dtype,
             freeze_at=freeze_at,
             freeze_all=freeze_all,
+            **resnet_kw,
         )
     if body in ("R-50-FPN", "R-101-FPN", "R-50-FPN-RETINANET", "R-101-FPN-RETINANET"):
         stages = R101_STAGES if "101" in body else R50_STAGES

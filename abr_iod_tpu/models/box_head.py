@@ -32,6 +32,13 @@ class RoiBoxHead(nn.Module):
     roi_align_precision: str = "default"
     use_pallas_roi_align: bool = False
     roi_chunk: int = 128
+    norm: str = "frozen_bn"
+    res5_with_dcn: bool = False  # STAGE_WITH_DCN[3]
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    groups: int = 1
+    res5_dilation: int = 1
+    stride_in_1x1: bool = True
 
     @nn.compact
     def __call__(self, features, rois, rois_valid=None):
@@ -67,6 +74,13 @@ class RoiBoxHead(nn.Module):
             bottleneck_channels=self.res5_bottleneck,
             out_channels=self.res5_out,
             dtype=self.dtype,
+            norm=self.norm,
+            with_dcn=self.res5_with_dcn,
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            groups=self.groups,
+            dilation=self.res5_dilation,
+            stride_in_1x1=self.stride_in_1x1,
             name="res5",
         )(x)  # [BS, 4, 4, 2048]
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [BS, 2048]

@@ -10,6 +10,20 @@ from .detector import FasterRCNN
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 
+def _trans_func_norm(trans_func: str) -> str:
+    """TRANS_FUNC registry (reference resnet.py:5-14) → norm kind."""
+    table = {
+        "BottleneckWithFixedBatchNorm": "frozen_bn",
+        "BottleneckWithGN": "gn",
+    }
+    if trans_func not in table:
+        raise ValueError(
+            f"unknown MODEL.RESNETS.TRANS_FUNC {trans_func!r} "
+            f"(supported: {sorted(table)})"
+        )
+    return table[trans_func]
+
+
 def build_detection_model(cfg):
     if cfg.MODEL.META_ARCHITECTURE != "GeneralizedRCNN":
         raise ValueError(
@@ -61,4 +75,15 @@ def build_detection_model(cfg):
         pooler_sampling_ratio=sampling_ratio,
         freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
         freeze_backbone=bool(cfg.MODEL.BACKBONE.FREEZE),
+        norm=_trans_func_norm(str(cfg.MODEL.RESNETS.get("TRANS_FUNC",
+                                                        "BottleneckWithFixedBatchNorm"))),
+        stage_with_dcn=tuple(bool(b) for b in
+                             cfg.MODEL.RESNETS.get("STAGE_WITH_DCN",
+                                                   (False, False, False, False))),
+        modulated_dcn=bool(cfg.MODEL.RESNETS.get("WITH_MODULATED_DCN", False)),
+        dcn_groups=int(cfg.MODEL.RESNETS.get("DEFORMABLE_GROUPS", 1)),
+        num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
+        stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
+        res5_dilation=int(cfg.MODEL.RESNETS.get("RES5_DILATION", 1)),
+        stem_out_channels=int(cfg.MODEL.RESNETS.get("STEM_OUT_CHANNELS", 64)),
     )

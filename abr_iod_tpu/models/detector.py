@@ -50,6 +50,15 @@ class FasterRCNN(nn.Module):
     # MODEL.BACKBONE.FREEZE) — must mirror solver/optim.py's masks
     freeze_at: int = 0
     freeze_backbone: bool = False
+    # TRANS_FUNC / STAGE_WITH_DCN surface (reference resnet.py:92,110-123)
+    norm: str = "frozen_bn"
+    stage_with_dcn: tuple = (False, False, False, False)
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    stem_out_channels: int = 64
     # RoI pooler geometry (cfg.MODEL.ROI_BOX_HEAD.POOLER_*)
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16
@@ -64,6 +73,13 @@ class FasterRCNN(nn.Module):
             scan_blocks=self.scan_blocks,
             freeze_at=self.freeze_at,
             freeze_all=self.freeze_backbone,
+            norm=self.norm,
+            stage_with_dcn=tuple(self.stage_with_dcn),
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            num_groups=self.num_groups,
+            stride_in_1x1=self.stride_in_1x1,
+            stem_out_channels=self.stem_out_channels,
             name="backbone",
         )
         self.rpn_head = RPNHead(
@@ -81,6 +97,14 @@ class FasterRCNN(nn.Module):
             roi_align_precision=self.roi_align_precision,
             use_pallas_roi_align=self.use_pallas_roi_align,
             roi_chunk=self.roi_chunk,
+            norm=self.norm,
+            res5_with_dcn=bool(tuple(self.stage_with_dcn)[3])
+            if len(tuple(self.stage_with_dcn)) > 3 else False,
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            groups=self.num_groups,
+            res5_dilation=self.res5_dilation,
+            stride_in_1x1=self.stride_in_1x1,
             name="roi_heads",
         )
         if self.mask_on:

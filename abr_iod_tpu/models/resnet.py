@@ -46,8 +46,9 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
-def _conv(features, kernel, stride, name, dtype, use_bias=False):
-    pad = [(k // 2, k // 2) for k in (kernel, kernel)]
+def _conv(features, kernel, stride, name, dtype, use_bias=False, groups=1,
+          dilation=1):
+    pad = [(dilation * (k // 2), dilation * (k // 2)) for k in (kernel, kernel)]
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -55,43 +56,133 @@ def _conv(features, kernel, stride, name, dtype, use_bias=False):
         padding=pad,
         use_bias=use_bias,
         dtype=dtype,
+        feature_group_count=groups,
+        kernel_dilation=(dilation, dilation),
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
         name=name,
     )
 
 
+def _norm(kind: str, features: int, dtype, name: str, zero_init: bool = False):
+    """Reference TRANS_FUNC dispatch: FrozenBN (BottleneckWithFixedBatchNorm)
+    or GroupNorm-32 (BottleneckWithGN, make_layers.py group_norm).  GN
+    variants use gn* module names so the optimizer's frozen-BN mask
+    (solver/optim.py FROZEN_BN_SEGMENTS) does NOT freeze them — GN params
+    train in the reference."""
+    if kind == "gn":
+        import math
+
+        # 32 groups (reference GROUP_NORM.NUM_GROUPS) whenever it divides
+        # the channel count — true for every real ResNet width; tiny test
+        # models degrade to the largest divisor
+        return nn.GroupNorm(
+            num_groups=math.gcd(32, features), epsilon=1e-5, dtype=dtype,
+            scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+            name=name.replace("bn", "gn"),
+        )
+    return FrozenBatchNorm(
+        features, dtype,
+        weight_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+        name=name,
+    )
+
+
+class DFConv(nn.Module):
+    """DFConv2d (reference layers/misc.py:114-203): a plain conv predicts
+    per-tap offsets (and, for the modulated v2 variant, sigmoid masks);
+    the deformable conv op (ops/deform_conv.py) consumes them.  Offsets
+    compute in f32 — the bilinear gather is precision-sensitive."""
+
+    features: int
+    stride: int = 1
+    modulated: bool = False
+    deformable_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import deform_conv2d
+
+        if self.deformable_groups != 1:
+            raise NotImplementedError(
+                "deformable_groups > 1 is not supported (no reference config "
+                "uses it; cfg.MODEL.RESNETS.DEFORMABLE_GROUPS=1)"
+            )
+        k = 3
+        off_ch = k * k * (3 if self.modulated else 2)
+        xf = x.astype(jnp.float32)
+        om = nn.Conv(
+            off_ch, (k, k), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(
+                1.0 / 3.0, "fan_in", "uniform"  # torch kaiming_uniform a=1
+            ),
+            name="offset",
+        )(xf)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (k, k, x.shape[-1], self.features),
+        )
+        if self.modulated:
+            off = om[..., : 2 * k * k]
+            mask = jax.nn.sigmoid(om[..., 2 * k * k :])
+            y = deform_conv2d(xf, off, kernel, mask, stride=self.stride, padding=1)
+        else:
+            y = deform_conv2d(xf, om, kernel, stride=self.stride, padding=1)
+        return y.astype(self.dtype)
+
+
 class Bottleneck(nn.Module):
-    """Caffe2-style bottleneck (stride_in_1x1=True), FrozenBN."""
+    """Caffe2-style bottleneck (stride_in_1x1=True); FrozenBN or GN per
+    TRANS_FUNC (reference resnet.py:371-425), optional deformable conv2
+    when the stage is in STAGE_WITH_DCN (reference resnet.py:289-303)."""
 
     bottleneck_channels: int
     out_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"  # 'frozen_bn' | 'gn'
+    with_dcn: bool = False
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    groups: int = 1  # MODEL.RESNETS.NUM_GROUPS (ResNeXt)
+    dilation: int = 1  # RES5_DILATION on the res5 head
+    stride_in_1x1: bool = True  # MODEL.RESNETS.STRIDE_IN_1X1
 
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
+        # reference resnet.py:258-278: dilation > 1 resets the stride
+        stride = 1 if self.dilation > 1 else self.stride
+        s1, s3 = (stride, 1) if self.stride_in_1x1 else (1, stride)
         residual = x
         if in_channels != self.out_channels or self.stride != 1:
-            residual = _conv(self.out_channels, 1, self.stride, "downsample_conv", self.dtype)(x)
-            residual = FrozenBatchNorm(self.out_channels, self.dtype, name="downsample_bn")(
-                residual
-            )
-        out = _conv(self.bottleneck_channels, 1, self.stride, "conv1", self.dtype)(x)
-        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn1")(out)
+            residual = _conv(self.out_channels, 1, stride, "downsample_conv", self.dtype)(x)
+            residual = _norm(self.norm, self.out_channels, self.dtype,
+                             "downsample_bn")(residual)
+        out = _conv(self.bottleneck_channels, 1, s1, "conv1", self.dtype)(x)
+        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, 1, "conv2", self.dtype)(out)
-        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype, name="bn2")(out)
+        if self.with_dcn:
+            if self.groups != 1 or self.dilation != 1:
+                raise NotImplementedError("DCN with groups/dilation is unsupported")
+            out = DFConv(
+                self.bottleneck_channels, stride=s3, modulated=self.modulated_dcn,
+                deformable_groups=self.dcn_groups, dtype=self.dtype, name="conv2",
+            )(out)
+        else:
+            out = _conv(self.bottleneck_channels, 3, s3, "conv2", self.dtype,
+                        groups=self.groups, dilation=self.dilation)(out)
+        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = _conv(self.out_channels, 1, 1, "conv3", self.dtype)(out)
-        # zero-init the residual branch's last BN scale: keeps random-init
+        # zero-init the residual branch's last norm scale: keeps random-init
         # activations bounded through 50 frozen-BN layers (pretrained
         # weights overwrite this; the reference always loads ImageNet
         # weights so it never needed the guard)
-        out = FrozenBatchNorm(
-            self.out_channels, self.dtype, weight_init=nn.initializers.zeros,
-            name="bn3",
-        )(out)
+        out = _norm(self.norm, self.out_channels, self.dtype, "bn3",
+                    zero_init=True)(out)
         return nn.relu(out + residual)
 
 
@@ -102,10 +193,21 @@ class Stage(nn.Module):
     first_stride: int
     dtype: Any = jnp.float32
     scan_blocks: bool = False
+    norm: str = "frozen_bn"
+    with_dcn: bool = False
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    groups: int = 1
+    dilation: int = 1
+    stride_in_1x1: bool = True
 
     @nn.compact
     def __call__(self, x):
-        if not self.scan_blocks or self.block_count <= 2:
+        kw = dict(norm=self.norm, with_dcn=self.with_dcn,
+                  modulated_dcn=self.modulated_dcn, dcn_groups=self.dcn_groups,
+                  groups=self.groups, dilation=self.dilation,
+                  stride_in_1x1=self.stride_in_1x1)
+        if not self.scan_blocks or self.block_count <= 2 or self.with_dcn:
             for i in range(self.block_count):
                 x = Bottleneck(
                     self.bottleneck_channels,
@@ -113,6 +215,7 @@ class Stage(nn.Module):
                     stride=self.first_stride if i == 0 else 1,
                     dtype=self.dtype,
                     name=f"block{i}",
+                    **kw,
                 )(x)
             return x
         # HLO-size optimization: after block0, the remaining blocks are
@@ -126,6 +229,7 @@ class Stage(nn.Module):
             stride=self.first_stride,
             dtype=self.dtype,
             name="block0",
+            **kw,
         )(x)
         scanned = nn.scan(
             _BottleneckScanBody,
@@ -136,6 +240,7 @@ class Stage(nn.Module):
             bottleneck_channels=self.bottleneck_channels,
             out_channels=self.out_channels,
             dtype=self.dtype,
+            norm=self.norm,
             name="block_rest",
         )
         x, _ = scanned(x, None)
@@ -146,12 +251,13 @@ class _BottleneckScanBody(nn.Module):
     bottleneck_channels: int
     out_channels: int
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, carry, _):
         y = Bottleneck(
             self.bottleneck_channels, self.out_channels, stride=1,
-            dtype=self.dtype, name="block",
+            dtype=self.dtype, norm=self.norm, name="block",
         )(carry)
         return y, None
 
@@ -200,6 +306,7 @@ class Stem(nn.Module):
     out_channels: int = 64
     dtype: Any = jnp.float32
     space_to_depth: bool = True
+    norm: str = "frozen_bn"  # StemWithFixedBatchNorm | StemWithGN
 
     @nn.compact
     def __call__(self, x):
@@ -207,7 +314,7 @@ class Stem(nn.Module):
             x = _StemConvS2D(self.out_channels, self.dtype, name="conv1")(x)
         else:
             x = _conv(self.out_channels, 7, 2, "conv1", self.dtype)(x)
-        x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
+        x = _norm(self.norm, self.out_channels, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # maxpool 3x3 stride 2 pad 1 (torch semantics)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -241,10 +348,19 @@ class ResNetC4(nn.Module):
     # untouched.
     freeze_at: int = 0
     freeze_all: bool = False  # MODEL.BACKBONE.FREEZE
+    # TRANS_FUNC / STAGE_WITH_DCN (reference resnet.py:92,110-123)
+    norm: str = "frozen_bn"
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    num_groups: int = 1  # MODEL.RESNETS.NUM_GROUPS (ResNeXt)
+    stride_in_1x1: bool = True  # MODEL.RESNETS.STRIDE_IN_1X1
+    stem_out_channels: int = 64  # MODEL.RESNETS.STEM_OUT_CHANNELS
 
     @nn.compact
     def __call__(self, x):
-        x = Stem(dtype=self.dtype, name="stem")(x.astype(self.dtype))
+        x = Stem(out_channels=self.stem_out_channels, dtype=self.dtype,
+                 norm=self.norm, name="stem")(x.astype(self.dtype))
         if self.freeze_all or self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         backbone_features = []
@@ -252,11 +368,18 @@ class ResNetC4(nn.Module):
             factor = 2**idx
             x = Stage(
                 block_count=block_count,
-                bottleneck_channels=self.width_per_group * factor,
+                bottleneck_channels=self.num_groups * self.width_per_group * factor,
                 out_channels=self.res2_out_channels * factor,
                 first_stride=1 if idx == 0 else 2,
                 dtype=self.dtype,
                 scan_blocks=self.scan_blocks,
+                norm=self.norm,
+                groups=self.num_groups,
+                stride_in_1x1=self.stride_in_1x1,
+                with_dcn=bool(self.stage_with_dcn[idx])
+                if idx < len(self.stage_with_dcn) else False,
+                modulated_dcn=self.modulated_dcn,
+                dcn_groups=self.dcn_groups,
                 name=f"layer{idx + 1}",
             )(x)
             if self.freeze_all or (idx + 1) < self.freeze_at:
@@ -273,6 +396,13 @@ class Res5Head(nn.Module):
     bottleneck_channels: int = 512
     out_channels: int = 2048
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
+    with_dcn: bool = False  # STAGE_WITH_DCN[3] (reference dcn_config, resnet.py:220-234)
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    groups: int = 1
+    dilation: int = 1  # MODEL.RESNETS.RES5_DILATION
+    stride_in_1x1: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -280,7 +410,14 @@ class Res5Head(nn.Module):
             block_count=self.block_count,
             bottleneck_channels=self.bottleneck_channels,
             out_channels=self.out_channels,
-            first_stride=2,
+            first_stride=2,  # Bottleneck resets to 1 when dilation > 1
             dtype=self.dtype,
+            norm=self.norm,
+            with_dcn=self.with_dcn,
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            groups=self.groups,
+            dilation=self.dilation,
+            stride_in_1x1=self.stride_in_1x1,
             name="layer4",
         )(x)
