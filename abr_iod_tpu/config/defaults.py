@@ -134,6 +134,12 @@ _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
 _C.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (1.0 / 16,)
 _C.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
 _C.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 1024
+# FPNXconv1fcFeatureExtractor knobs (reference defaults.py +
+# roi_box_feature_extractors.py:104-163)
+_C.MODEL.ROI_BOX_HEAD.USE_GN = False
+_C.MODEL.ROI_BOX_HEAD.CONV_HEAD_DIM = 256
+_C.MODEL.ROI_BOX_HEAD.NUM_STACKED_CONVS = 4
+_C.MODEL.ROI_BOX_HEAD.DILATION = 1
 _C.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = ()
 _C.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = ()
 _C.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES = ()

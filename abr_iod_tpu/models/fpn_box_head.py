@@ -1,8 +1,10 @@
-"""FPN-style RoI box head: 2-MLP feature extractor + FPN predictor.
+"""FPN-style RoI box head: 2-MLP or Xconv1fc feature extractor + FPN
+predictor.
 
 Reference: roi_box_feature_extractors.py FPN2MLPFeatureExtractor
-(:58-101 — Pooler(7x7 multi-level) → fc6 → fc7, 1024-d) and
-roi_box_predictors.py FPNPredictor (:35-123 — cls_score +
+(:58-101 — Pooler(7x7 multi-level) → fc6 → fc7, 1024-d),
+FPNXconv1fcFeatureExtractor (:104-163 — N stacked 3x3 convs (+GN) →
+fc6), and roi_box_predictors.py FPNPredictor (:35-123 — cls_score +
 bbox_pred(4*C), normal init 0.01/0.001).
 """
 
@@ -24,6 +26,14 @@ class FPNBoxHead(nn.Module):
     pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
     pooler_sampling_ratio: int = 2
     dtype: Any = jnp.float32
+    # extractor dispatch (MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR)
+    extractor: str = "FPN2MLPFeatureExtractor"
+    # FPNXconv1fc knobs (MODEL.ROI_BOX_HEAD.{USE_GN,CONV_HEAD_DIM,
+    # NUM_STACKED_CONVS,DILATION})
+    use_gn: bool = False
+    conv_head_dim: int = 256
+    num_stacked_convs: int = 4
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
@@ -38,9 +48,29 @@ class FPNBoxHead(nn.Module):
             ),
             in_axes=(0, 0),
         )(features[: len(self.pooler_scales)], rois)
-        x = pool.reshape(b * s, -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(self.representation_size, name="fc6", dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(self.representation_size, name="fc7", dtype=self.dtype)(x))
+        if self.extractor == "FPNXconv1fcFeatureExtractor":
+            x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
+            d = self.dilation
+            for ix in range(self.num_stacked_convs):
+                x = nn.Conv(
+                    self.conv_head_dim, (3, 3), padding=[(d, d), (d, d)],
+                    kernel_dilation=(d, d), use_bias=not self.use_gn,
+                    kernel_init=nn.initializers.normal(0.01),
+                    dtype=self.dtype, name=f"xconv{ix}",
+                )(x)
+                if self.use_gn:
+                    x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     dtype=self.dtype, name=f"xconv{ix}_gn")(x)
+                x = nn.relu(x)
+            x = x.reshape(b * s, -1)
+            x = nn.relu(nn.Dense(self.representation_size, name="fc6",
+                                 dtype=self.dtype)(x))
+        elif self.extractor == "FPN2MLPFeatureExtractor":
+            x = pool.reshape(b * s, -1).astype(self.dtype)
+            x = nn.relu(nn.Dense(self.representation_size, name="fc6", dtype=self.dtype)(x))
+            x = nn.relu(nn.Dense(self.representation_size, name="fc7", dtype=self.dtype)(x))
+        else:
+            raise ValueError(f"unknown FPN box feature extractor {self.extractor!r}")
         cls_logits = nn.Dense(
             self.num_classes, kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype, name="cls_score",

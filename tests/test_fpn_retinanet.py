@@ -244,3 +244,26 @@ def test_retinanet_detector_end_to_end(rng):
         num_classes=5, pre_nms_top_n=100, detections_per_img=20,
     )
     assert bool(np.asarray(dets2.valid).any())
+
+
+def test_fpn_xconv_extractor():
+    """FPNXconv1fcFeatureExtractor variant (reference
+    roi_box_feature_extractors.py:104-163): N stacked 3x3 convs (+GN) →
+    fc6 → FPN predictor."""
+    import numpy as np
+
+    head = FPNBoxHead(num_classes=5, representation_size=16,
+                      extractor="FPNXconv1fcFeatureExtractor",
+                      conv_head_dim=32, num_stacked_convs=2, use_gn=True)
+    feats = [jnp.zeros((1, 16 // (2 ** i), 24 // (2 ** i), 8))
+             for i in range(4)]
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0], [8.0, 8.0, 60.0, 50.0]]])
+    params = head.init(jax.random.PRNGKey(0), feats, rois)
+    flat = {jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert any("xconv0" in k for k in flat)
+    assert any("xconv1_gn" in k for k in flat)
+    assert not any("fc7" in k for k in flat)  # 1fc variant
+    logits, reg, pool = head.apply(params, feats, rois)
+    assert logits.shape == (1, 2, 5) and reg.shape == (1, 2, 20)
+    assert np.isfinite(np.asarray(logits)).all()
