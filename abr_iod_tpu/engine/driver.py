@@ -522,7 +522,10 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                 hw = (int(rec["height"]), int(rec["width"]))
                 seg_predictions.append({
                     "masks": paste_masks_in_image(
-                        np.asarray(mask_probs[i])[v], b, hw
+                        np.asarray(mask_probs[i])[v], b, hw,
+                        threshold=float(
+                            cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD
+                        ),
                     ),
                     "labels": labels[i][v],
                     "scores": scores[i][v],

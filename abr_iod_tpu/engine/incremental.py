@@ -168,7 +168,9 @@ def frozen_prefix_child_names(cfg) -> tuple:
     below FREEZE_CONV_BODY_AT (reference resnet.py:134-143), or every
     stage under BACKBONE.FREEZE."""
     freeze_at = int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
-    if bool(cfg.MODEL.BACKBONE.get("FREEZE", False)):
+    if bool(cfg.MODEL.BACKBONE.get("FREEZE", False)) or bool(
+        cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)
+    ):
         n_stages = len(tuple(cfg.TPU.BACKBONE_STAGES))
         return ("stem",) + tuple(f"layer{s}" for s in range(1, n_stages + 1))
     names = [] if freeze_at < 1 else ["stem"]

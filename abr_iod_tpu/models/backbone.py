@@ -23,6 +23,11 @@ class ResNetFPNBackbone(nn.Module):
     dtype: Any = jnp.float32
     freeze_at: int = 0
     freeze_all: bool = False
+    fpn_use_gn: bool = False
+    fpn_use_relu: bool = False
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    stem_out_channels: int = 64
 
     @nn.compact
     def __call__(self, x):
@@ -33,6 +38,9 @@ class ResNetFPNBackbone(nn.Module):
             dtype=self.dtype,
             freeze_at=self.freeze_at,
             freeze_all=self.freeze_all,
+            num_groups=self.num_groups,
+            stride_in_1x1=self.stride_in_1x1,
+            stem_out_channels=self.stem_out_channels,
             name="body",
         )
         _, backbone_features = body(x)  # [C2, C3, C4, C5]
@@ -40,6 +48,8 @@ class ResNetFPNBackbone(nn.Module):
             out_channels=self.fpn_out_channels,
             top_block=self.top_block,
             dtype=self.dtype,
+            use_gn=self.fpn_use_gn,
+            use_relu=self.fpn_use_relu,
             name="fpn",
         )(backbone_features)
         return pyramid, backbone_features
@@ -89,5 +99,8 @@ def build_backbone_module(cfg):
             dtype=dtype,
             freeze_at=freeze_at,
             freeze_all=freeze_all,
+            fpn_use_gn=bool(cfg.MODEL.FPN.get("USE_GN", False)),
+            fpn_use_relu=bool(cfg.MODEL.FPN.get("USE_RELU", False)),
+            **resnet_kw,
         )
     raise ValueError(f"unknown CONV_BODY {body!r}")

@@ -74,7 +74,8 @@ def build_detection_model(cfg):
         pooler_scale=float(tuple(bh.POOLER_SCALES)[0]),
         pooler_sampling_ratio=sampling_ratio,
         freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
-        freeze_backbone=bool(cfg.MODEL.BACKBONE.FREEZE),
+        freeze_backbone=bool(cfg.MODEL.BACKBONE.FREEZE)
+        or bool(cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)),
         norm=_trans_func_norm(str(cfg.MODEL.RESNETS.get("TRANS_FUNC",
                                                         "BottleneckWithFixedBatchNorm"))),
         stage_with_dcn=tuple(bool(b) for b in
@@ -83,6 +84,11 @@ def build_detection_model(cfg):
         modulated_dcn=bool(cfg.MODEL.RESNETS.get("WITH_MODULATED_DCN", False)),
         dcn_groups=int(cfg.MODEL.RESNETS.get("DEFORMABLE_GROUPS", 1)),
         num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
+        mask_predictor_name=str(cfg.MODEL.ROI_MASK_HEAD.get(
+            "PREDICTOR", "MaskRCNNC4Predictor")),
+        keypoint_conv_layers=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.get(
+            "CONV_LAYERS", tuple(512 for _ in range(8)))),
+        num_keypoints=int(cfg.MODEL.ROI_KEYPOINT_HEAD.get("NUM_CLASSES", 17)),
         stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
         res5_dilation=int(cfg.MODEL.RESNETS.get("RES5_DILATION", 1)),
         stem_out_channels=int(cfg.MODEL.RESNETS.get("STEM_OUT_CHANNELS", 64)),

@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from .resnet import ResNetC4
 from .rpn import RPNHead
 from .box_head import RoiBoxHead
-from .mask_head import MaskRCNNC4Predictor
-from .keypoint_head import KeypointRCNNPredictor
+from .mask_head import MaskRCNNC4Predictor, MaskRCNNConv1x1Predictor
+from .keypoint_head import KeypointRCNNFeatureExtractor, KeypointRCNNPredictor
 
 
 class FasterRCNN(nn.Module):
@@ -63,6 +63,10 @@ class FasterRCNN(nn.Module):
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 2
+    # mask/keypoint head knobs (MODEL.ROI_MASK_HEAD / ROI_KEYPOINT_HEAD)
+    mask_predictor_name: str = "MaskRCNNC4Predictor"
+    keypoint_conv_layers: tuple = tuple(512 for _ in range(8))
+    num_keypoints: int = 17
 
     def setup(self):
         self.backbone_net = ResNetC4(
@@ -108,12 +112,28 @@ class FasterRCNN(nn.Module):
             name="roi_heads",
         )
         if self.mask_on:
-            self.mask_predictor = MaskRCNNC4Predictor(
+            # MODEL.ROI_MASK_HEAD.PREDICTOR dispatch (reference
+            # roi_mask_predictors.py:11,36)
+            preds = {"MaskRCNNC4Predictor": MaskRCNNC4Predictor,
+                     "MaskRCNNConv1x1Predictor": MaskRCNNConv1x1Predictor}
+            if self.mask_predictor_name not in preds:
+                raise ValueError(
+                    f"unknown ROI_MASK_HEAD.PREDICTOR {self.mask_predictor_name!r}"
+                )
+            self.mask_predictor = preds[self.mask_predictor_name](
                 num_classes=self.num_classes, dtype=self.dtype, name="mask_head"
             )
         if self.keypoint_on:
+            # reference keypoint branch = extractor conv stack + deconv
+            # predictor (roi_keypoint_feature_extractors.py +
+            # roi_keypoint_predictors.py)
+            self.keypoint_extractor = KeypointRCNNFeatureExtractor(
+                layers=tuple(self.keypoint_conv_layers), dtype=self.dtype,
+                name="keypoint_fcn",
+            )
             self.keypoint_predictor = KeypointRCNNPredictor(
-                dtype=self.dtype, name="keypoint_head"
+                num_keypoints=self.num_keypoints, dtype=self.dtype,
+                name="keypoint_head",
             )
 
     def backbone(self, pixels):
@@ -156,7 +176,7 @@ class FasterRCNN(nn.Module):
             raise ValueError("model built without keypoint_on")
         b, s = roi_feats.shape[:2]
         x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
-        heat = self.keypoint_predictor(x)
+        heat = self.keypoint_predictor(self.keypoint_extractor(x))
         return heat.reshape((b, s) + heat.shape[1:])
 
     def keypoint_heads(self, features, rois):
@@ -166,7 +186,7 @@ class FasterRCNN(nn.Module):
         _, _, roi_feats, _ = self.box_head(features, rois)
         b, s = rois.shape[:2]
         x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
-        heat = self.keypoint_predictor(x)
+        heat = self.keypoint_predictor(self.keypoint_extractor(x))
         return heat.reshape((b, s) + heat.shape[1:])
 
     def __call__(self, pixels, rois):
@@ -189,6 +209,6 @@ class FasterRCNN(nn.Module):
             out["mask_logits"] = m.reshape((b, s) + m.shape[1:])
         if self.keypoint_on:
             x = roi_feats.reshape((b * s,) + roi_feats.shape[2:])
-            k = self.keypoint_predictor(x)
+            k = self.keypoint_predictor(self.keypoint_extractor(x))
             out["keypoint_logits"] = k.reshape((b, s) + k.shape[1:])
         return out

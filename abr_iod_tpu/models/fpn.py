@@ -22,32 +22,42 @@ class FPN(nn.Module):
     out_channels: int = 256
     top_block: str = "maxpool"  # 'maxpool' | 'p6p7' | 'none'
     dtype: Any = jnp.float32
+    # MODEL.FPN.USE_GN / USE_RELU (reference make_layers.py conv_with_kaiming_
+    # uniform — GN + ReLU wrap the lateral/output convs when enabled)
+    use_gn: bool = False
+    use_relu: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
         """features: [C2, C3, C4, C5] NHWC → [P2, P3, P4, P5, (P6, P7)]."""
         n = len(features)
+
+        def block(x, kernel, name):
+            pad = kernel // 2
+            y = nn.Conv(self.out_channels, (kernel, kernel),
+                        padding=((pad, pad), (pad, pad)), dtype=self.dtype,
+                        use_bias=not self.use_gn,
+                        kernel_init=nn.initializers.kaiming_uniform(),
+                        name=name)(x)
+            if self.use_gn:
+                y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                                 name=f"{name}_gn")(y)
+            if self.use_relu:
+                y = nn.relu(y)
+            return y
+
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                    kernel_init=nn.initializers.kaiming_uniform(),
-                    name=f"fpn_inner{i + 1}")(f)
-            for i, f in enumerate(features)
+            block(f, 1, f"fpn_inner{i + 1}") for i, f in enumerate(features)
         ]
         outs = [None] * n
         last = laterals[-1]
-        outs[-1] = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                           dtype=self.dtype,
-                           kernel_init=nn.initializers.kaiming_uniform(),
-                           name=f"fpn_layer{n}")(last)
+        outs[-1] = block(last, 3, f"fpn_layer{n}")
         for i in range(n - 2, -1, -1):
             up = jax.image.resize(
                 last, laterals[i].shape, method="nearest"
             )
             last = laterals[i] + up
-            outs[i] = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                              dtype=self.dtype,
-                              kernel_init=nn.initializers.kaiming_uniform(),
-                              name=f"fpn_layer{i + 1}")(last)
+            outs[i] = block(last, 3, f"fpn_layer{i + 1}")
 
         if self.top_block == "maxpool":
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))

@@ -52,7 +52,12 @@ def _path_names(path) -> list:
 def param_labels(params, cfg_model) -> Any:
     """Label each leaf 'frozen' | 'bias' | 'weight' from its tree path."""
     freeze_at = int(cfg_model.BACKBONE.FREEZE_CONV_BODY_AT)
-    backbone_freeze = bool(cfg_model.BACKBONE.get("FREEZE", False))
+    # ALL_FREEZE is the reference's name (backbone.py:46-53); FREEZE is
+    # this repo's round-1 alias — either freezes the whole conv body
+    backbone_freeze = bool(cfg_model.BACKBONE.get("FREEZE", False)) or bool(
+        cfg_model.BACKBONE.get("ALL_FREEZE", False)
+    )
+    fpn_freeze = backbone_freeze or bool(cfg_model.BACKBONE.get("FPN_FREEZE", False))
     rpn_freeze = bool(cfg_model.RPN.get("FREEZE", False))
     rpn_conv_freeze = bool(cfg_model.RPN.CONV_FREEZE)
     rpn_cls_freeze = bool(cfg_model.RPN.CLS_FREEZE)
@@ -72,6 +77,8 @@ def param_labels(params, cfg_model) -> Any:
             for s in range(1, freeze_at):
                 if f"layer{s}" in names:
                     return "frozen"
+        if "fpn" in names and fpn_freeze:
+            return "frozen"
         if "rpn" in names:
             if rpn_freeze:
                 return "frozen"
