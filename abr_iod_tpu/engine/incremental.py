@@ -236,6 +236,12 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
     computes that prefix once for both models.  Gradients for the prefix
     are structural zeros either way (stop_gradient in ResNetC4).
     """
+    if getattr(model_student, "is_fpn", False) or getattr(model_teacher, "is_fpn", False):
+        raise ValueError(
+            "the ABR incremental step is defined for the C4 detector (all "
+            "reference recipes are R-50-C4); the FPN family supports "
+            "first-task training and eval"
+        )
     prefix_names = frozen_prefix_child_names(cfg) if share_frozen_prefix else ()
 
     def loss_fn(params, teacher_params, teacher, batch, key):

@@ -19,6 +19,10 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
     """Anchors come from the traced pixel shape, so the same eval step
     serves landscape and transposed-portrait canvases (two cached
     executables; see make_train_step)."""
+    if getattr(model, "is_fpn", False):
+        from .fpn import make_fpn_eval_step
+
+        return make_fpn_eval_step(model, cfg, canvas_hw)
 
     @jax.jit
     def eval_step(params, pixels, sizes):
@@ -36,6 +40,16 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             min_size=float(cfg.MODEL.RPN.MIN_SIZE),
             approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
         )
+        if getattr(model, "rpn_only", False):
+            # MODEL.RPN_ONLY: the proposals ARE the result (reference
+            # generalized_rcnn.py:80-86); labels carry 0 — objectness has
+            # no class
+            from ..models.postprocess import Detections
+
+            return Detections(
+                props.boxes, props.scores,
+                jnp.zeros(props.scores.shape, jnp.int32), props.valid,
+            )
         cls_logits, box_reg, _, _ = model.apply(
             params, features, props.boxes, method="roi_heads"
         )

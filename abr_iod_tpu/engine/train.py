@@ -76,6 +76,16 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         positive_fraction=float(cfg.MODEL.RPN.POSITIVE_FRACTION),
     )
 
+    if getattr(model, "rpn_only", False):
+        # MODEL.RPN_ONLY: proposal network training — RPN losses are the
+        # whole objective (reference generalized_rcnn.py:107-119)
+        total = obj_loss + rpn_box_loss
+        metrics = {"loss_objectness": obj_loss,
+                   "loss_rpn_box_reg": rpn_box_loss, "loss": total}
+        aux = {"features": features, "backbone_features": backbone_feats,
+               "rpn_objectness": objectness, "rpn_box_deltas": box_deltas}
+        return total, metrics, aux
+
     props = select_proposals(
         jax.lax.stop_gradient(obj_f),
         jax.lax.stop_gradient(reg_f),
@@ -220,6 +230,11 @@ def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
     two cached executables (the TPU analogue of the reference's
     aspect-ratio-grouped ragged batches, grouped_batch_sampler.py:9-113).
     """
+
+    if getattr(model, "is_fpn", False):
+        from .fpn import make_fpn_train_step
+
+        return make_fpn_train_step(model, tx, cfg, canvas_hw)
 
     def loss_fn(params, batch, key):
         anchors = anchors_for_shape(

@@ -39,6 +39,11 @@ class RoiBoxHead(nn.Module):
     groups: int = 1
     res5_dilation: int = 1
     stride_in_1x1: bool = True
+    # MODEL.CLS_AGNOSTIC_BBOX_REG (reference roi_box_predictors.py /
+    # box_head/loss.py:166-172): one shared (bg, fg) regression pair,
+    # broadcast to every class before returning so downstream gather/
+    # decode semantics are unchanged
+    cls_agnostic_bbox_reg: bool = False
 
     @nn.compact
     def __call__(self, features, rois, rois_valid=None):
@@ -91,12 +96,20 @@ class RoiBoxHead(nn.Module):
             dtype=self.dtype,
             name="cls_score",
         )(x)
+        n_reg = 2 if self.cls_agnostic_bbox_reg else self.num_classes
         box_reg = nn.Dense(
-            self.num_classes * 4,
+            n_reg * 4,
             kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype,
             name="bbox_pred",
         )(x)
+        if self.cls_agnostic_bbox_reg:
+            # fg deltas broadcast over classes (reference box_head/
+            # inference.py expands [-4:] the same way)
+            fg = box_reg.reshape(b * s, 2, 4)[:, 1]
+            box_reg = jnp.tile(fg[:, None, :], (1, self.num_classes, 1)).reshape(
+                b * s, self.num_classes * 4
+            )
         head_feats = x.reshape(b, s, -1)
         return (
             cls_logits.reshape(b, s, self.num_classes).astype(jnp.float32),

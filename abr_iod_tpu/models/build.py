@@ -35,12 +35,22 @@ def build_detection_model(cfg):
         from .retinanet import build_retinanet
 
         return build_retinanet(cfg)
+    body = str(cfg.MODEL.BACKBONE.CONV_BODY)
+    if "FPN" in body and not body.startswith("FBNet"):
+        # GeneralizedRCNN + R-50/101-FPN (reference backbone registry)
+        from .fpn_detector import build_fpn_detector
+
+        return build_fpn_detector(cfg)
     if str(cfg.MODEL.BACKBONE.CONV_BODY).startswith("FBNet"):
         # FBNet trunk + FBNet rpn/bbox heads (reference backbone registry,
         # fbnet.py add_conv_body/add_rpn_head/add_roi_head)
         from .fbnet import build_fbnet_detector
 
         return build_fbnet_detector(cfg)
+    if body not in ("R-50-C4", "R-50-C5", "R-101-C4"):
+        raise ValueError(
+            f"unknown MODEL.BACKBONE.CONV_BODY {body!r} for GeneralizedRCNN"
+        )
     num_anchors = len(tuple(cfg.MODEL.RPN.ANCHOR_SIZES)) * len(
         tuple(cfg.MODEL.RPN.ASPECT_RATIOS)
     )
@@ -73,6 +83,8 @@ def build_detection_model(cfg):
         pooler_resolution=int(bh.POOLER_RESOLUTION),
         pooler_scale=float(tuple(bh.POOLER_SCALES)[0]),
         pooler_sampling_ratio=sampling_ratio,
+        cls_agnostic_bbox_reg=bool(cfg.MODEL.CLS_AGNOSTIC_BBOX_REG),
+        rpn_only=bool(cfg.MODEL.RPN_ONLY),
         freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
         freeze_backbone=bool(cfg.MODEL.BACKBONE.FREEZE)
         or bool(cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)),

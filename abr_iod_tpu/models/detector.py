@@ -64,6 +64,8 @@ class FasterRCNN(nn.Module):
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 2
     # mask/keypoint head knobs (MODEL.ROI_MASK_HEAD / ROI_KEYPOINT_HEAD)
+    cls_agnostic_bbox_reg: bool = False
+    rpn_only: bool = False  # MODEL.RPN_ONLY (generalized_rcnn.py:50-119)
     mask_predictor_name: str = "MaskRCNNC4Predictor"
     keypoint_conv_layers: tuple = tuple(512 for _ in range(8))
     num_keypoints: int = 17
@@ -89,6 +91,8 @@ class FasterRCNN(nn.Module):
         self.rpn_head = RPNHead(
             num_anchors=self.num_anchors, dtype=self.dtype, name="rpn"
         )
+        if self.rpn_only:
+            return  # proposal network only: no RoI stages built
         self.box_head = RoiBoxHead(
             num_classes=self.num_classes,
             pooler_resolution=self.pooler_resolution,
@@ -109,6 +113,7 @@ class FasterRCNN(nn.Module):
             groups=self.num_groups,
             res5_dilation=self.res5_dilation,
             stride_in_1x1=self.stride_in_1x1,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             name="roi_heads",
         )
         if self.mask_on:
@@ -193,6 +198,9 @@ class FasterRCNN(nn.Module):
         """Init/inspection path: full forward over given rois."""
         features, backbone_feats = self.backbone_net(pixels)
         objectness, box_deltas = self.rpn_head(features)
+        if self.rpn_only:
+            return {"features": features, "objectness": objectness,
+                    "rpn_box_deltas": box_deltas}
         cls_logits, box_reg, roi_feats, head_feats = self.box_head(features, rois)
         out = {
             "features": features,

@@ -1,0 +1,201 @@
+"""Faster R-CNN with an FPN backbone (the reference's GeneralizedRCNN +
+R-50-FPN registry path: modeling/backbone/backbone.py:23-43 +
+rpn/rpn.py USE_FPN + roi_heads FPN extractors).
+
+The shipped ABR recipes are all C4; this family exists because the
+reference's registry supports it and a user switching frameworks should
+find it.  Structure mirrors FasterRCNN (detector.py): pure NN stages as
+methods, all control flow in engine/fpn.py.
+
+  * ``backbone``  — pixels → (P2..P6 pyramid, per-stage C maps)
+  * ``rpn``       — pyramid → [(objectness, deltas)] per level, SHARED
+                    head weights (reference rpn.py:188 uses one head for
+                    all levels)
+  * ``roi_heads`` — (pyramid, rois) → (logits, box reg, pooled feats)
+                    via the FPN box head (2-MLP or Xconv1fc)
+  * ``mask_heads``— (pyramid, rois) → mask logits via the FPN mask
+                    extractor + C4 predictor (MaskRCNNFPNFeatureExtractor,
+                    roi_mask_feature_extractors.py:17-68)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .backbone import ResNetFPNBackbone
+from .fpn import fpn_roi_align
+from .fpn_box_head import FPNBoxHead
+from .mask_head import MaskRCNNC4Predictor, MaskRCNNFPNFeatureExtractor
+from .resnet import R50_STAGES
+from .rpn import RPNHead
+
+# P2..P6 strides for the standard FPN detector
+FPN_STRIDES = (4, 8, 16, 32, 64)
+
+
+class FasterRCNNFPN(nn.Module):
+    num_classes: int
+    num_anchors: int = 3  # per location per level: len(ASPECT_RATIOS)
+    mask_on: bool = False
+    stages: tuple = R50_STAGES
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    fpn_out_channels: int = 256
+    representation_size: int = 1024  # MLP_HEAD_DIM
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 2
+    mask_pooler_resolution: int = 14
+    mask_conv_layers: tuple = (256, 256, 256, 256)
+    extractor: str = "FPN2MLPFeatureExtractor"
+    use_gn: bool = False
+    conv_head_dim: int = 256
+    num_stacked_convs: int = 4
+    xconv_dilation: int = 1
+    dtype: Any = jnp.float32
+    freeze_at: int = 0
+    freeze_all: bool = False
+    fpn_use_gn: bool = False
+    fpn_use_relu: bool = False
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    stem_out_channels: int = 64
+
+    is_fpn: bool = True  # engine dispatch flag (train.py / inference.py)
+
+    def setup(self):
+        self.backbone_net = ResNetFPNBackbone(
+            stages=tuple(self.stages),
+            width_per_group=self.width_per_group,
+            res2_out_channels=self.res2_out_channels,
+            fpn_out_channels=self.fpn_out_channels,
+            top_block="maxpool",
+            dtype=self.dtype,
+            freeze_at=self.freeze_at,
+            freeze_all=self.freeze_all,
+            fpn_use_gn=self.fpn_use_gn,
+            fpn_use_relu=self.fpn_use_relu,
+            num_groups=self.num_groups,
+            stride_in_1x1=self.stride_in_1x1,
+            stem_out_channels=self.stem_out_channels,
+            name="backbone",
+        )
+        self.rpn_head = RPNHead(
+            num_anchors=self.num_anchors, dtype=self.dtype, name="rpn"
+        )
+        self.box_head = FPNBoxHead(
+            num_classes=self.num_classes,
+            representation_size=self.representation_size,
+            pooler_resolution=self.pooler_resolution,
+            pooler_scales=tuple(1.0 / s for s in FPN_STRIDES[:4]),
+            pooler_sampling_ratio=self.pooler_sampling_ratio,
+            dtype=self.dtype,
+            extractor=self.extractor,
+            use_gn=self.use_gn,
+            conv_head_dim=self.conv_head_dim,
+            num_stacked_convs=self.num_stacked_convs,
+            dilation=self.xconv_dilation,
+            name="roi_heads",
+        )
+        if self.mask_on:
+            self.mask_extractor = MaskRCNNFPNFeatureExtractor(
+                layers=tuple(self.mask_conv_layers), dtype=self.dtype,
+                name="mask_fcn",
+            )
+            self.mask_predictor = MaskRCNNC4Predictor(
+                num_classes=self.num_classes, dtype=self.dtype, name="mask_head"
+            )
+
+    def backbone(self, pixels):
+        pyramid, backbone_feats = self.backbone_net(pixels)
+        return tuple(pyramid), tuple(backbone_feats)
+
+    def rpn(self, pyramid):
+        """Shared RPN head over every level (reference rpn.py:114-129)."""
+        return tuple(self.rpn_head(f) for f in pyramid)
+
+    def roi_heads(self, pyramid, rois):
+        logits, box_reg, pool = self.box_head(list(pyramid), rois)
+        return logits, box_reg, pool, None
+
+    def mask_heads(self, pyramid, rois):
+        """FPN mask branch: its own 14x14 multi-level pool → conv stack →
+        deconv predictor (reference mask FPN path)."""
+        if not self.mask_on:
+            raise ValueError("model built without mask_on")
+        b, s = rois.shape[:2]
+        pool = jax.vmap(
+            lambda fs, r: fpn_roi_align(
+                fs, r, output_size=self.mask_pooler_resolution,
+                scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
+                sampling_ratio=self.pooler_sampling_ratio,
+            ),
+            in_axes=(0, 0),
+        )(list(pyramid)[:4], rois)
+        x = pool.reshape((b * s,) + pool.shape[2:])
+        logits = self.mask_predictor(self.mask_extractor(x))
+        return logits.reshape((b, s) + logits.shape[1:])
+
+    def __call__(self, pixels, rois):
+        """Init/inspection path."""
+        pyramid, _ = self.backbone(pixels)
+        rpn_outs = self.rpn(pyramid)
+        cls_logits, box_reg, pool, _ = self.roi_heads(pyramid, rois)
+        out = {
+            "pyramid_shapes": tuple(p.shape for p in pyramid),
+            "objectness": tuple(o for o, _ in rpn_outs),
+            "cls_logits": cls_logits,
+            "box_reg": box_reg,
+            "roi_features": pool,
+        }
+        if self.mask_on:
+            out["mask_logits"] = self.mask_heads(pyramid, rois)
+        return out
+
+
+def build_fpn_detector(cfg):
+    from .build import _trans_func_norm  # validated dispatch
+
+    _ = _trans_func_norm(str(cfg.MODEL.RESNETS.get(
+        "TRANS_FUNC", "BottleneckWithFixedBatchNorm")))
+    body = str(cfg.MODEL.BACKBONE.CONV_BODY)
+    from .resnet import R101_STAGES
+
+    stages = R101_STAGES if "101" in body else R50_STAGES
+    bh = cfg.MODEL.ROI_BOX_HEAD
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        str(cfg.TPU.COMPUTE_DTYPE)
+    ]
+    return FasterRCNNFPN(
+        num_classes=int(bh.NUM_CLASSES),
+        num_anchors=len(tuple(cfg.MODEL.RPN.ASPECT_RATIOS)),
+        mask_on=bool(cfg.MODEL.MASK_ON),
+        stages=tuple(cfg.TPU.get("FPN_BACKBONE_STAGES", stages)),
+        width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
+        res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
+        fpn_out_channels=int(cfg.MODEL.RESNETS.get("BACKBONE_OUT_CHANNELS", 256)),
+        representation_size=int(bh.MLP_HEAD_DIM),
+        pooler_resolution=int(bh.POOLER_RESOLUTION),
+        pooler_sampling_ratio=max(int(bh.POOLER_SAMPLING_RATIO), 2),
+        mask_pooler_resolution=int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION),
+        mask_conv_layers=tuple(cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS),
+        extractor=str(bh.FEATURE_EXTRACTOR)
+        if str(bh.FEATURE_EXTRACTOR).startswith("FPN")
+        else "FPN2MLPFeatureExtractor",
+        use_gn=bool(bh.USE_GN),
+        conv_head_dim=int(bh.CONV_HEAD_DIM),
+        num_stacked_convs=int(bh.NUM_STACKED_CONVS),
+        xconv_dilation=int(bh.DILATION),
+        dtype=dtype,
+        freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
+        freeze_all=bool(cfg.MODEL.BACKBONE.FREEZE)
+        or bool(cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)),
+        fpn_use_gn=bool(cfg.MODEL.FPN.get("USE_GN", False)),
+        fpn_use_relu=bool(cfg.MODEL.FPN.get("USE_RELU", False)),
+        num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
+        stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
+        stem_out_channels=int(cfg.MODEL.RESNETS.get("STEM_OUT_CHANNELS", 64)),
+    )

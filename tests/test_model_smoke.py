@@ -111,3 +111,88 @@ def test_stem_space_to_depth_equivalence():
         np.testing.assert_allclose(
             np.asarray(y_s2d), np.asarray(y_plain), atol=1e-4, rtol=1e-5
         )
+
+
+def test_rpn_only_meta_arch():
+    """MODEL.RPN_ONLY builds a proposal-only network: no RoI-head params,
+    RPN-only training losses, eval returns the proposals (reference
+    generalized_rcnn.py:50-119)."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.engine import Batch
+    from abr_iod_tpu.engine.train import forward_detection_losses
+    from abr_iod_tpu.engine.inference import make_eval_step
+    from abr_iod_tpu.models.anchors import anchors_for_shape
+
+    cfg = get_default_config()
+    cfg.MODEL.RPN_ONLY = True
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.CANVAS_TRAIN = (64, 96)
+    cfg.TPU.CANVAS_TEST = (64, 96)
+    cfg.TPU.PRE_NMS_TOP_N_TEST = 64
+    cfg.TPU.POST_NMS_TOP_N_TEST = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_detection_model(cfg)
+    px = jnp.zeros((1, 64, 96, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = model.init(jax.random.PRNGKey(0), px, rois)
+    flat = {jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert not any("roi_heads" in k for k in flat)  # no RoI stage built
+
+    batch = Batch(
+        pixels=px,
+        sizes=jnp.asarray([[64, 96]], jnp.int32),
+        gt_boxes=jnp.asarray([[[4.0, 4.0, 40.0, 40.0]] * 8]),
+        gt_labels=jnp.ones((1, 8), jnp.int32),
+        gt_mask=jnp.asarray([[True] + [False] * 7]),
+    )
+    anchors = anchors_for_shape(cfg, 64, 96)
+    total, metrics, _ = forward_detection_losses(
+        model, params, batch, jax.random.PRNGKey(0), cfg, anchors
+    )
+    assert set(metrics) == {"loss_objectness", "loss_rpn_box_reg", "loss"}
+    assert np.isfinite(float(total))
+
+    eval_step, _ = make_eval_step(model, cfg, (64, 96))
+    dets = eval_step(params, px, batch.sizes)
+    assert dets.boxes.shape == (1, 16, 4)
+    assert (np.asarray(dets.labels) == 0).all()
+
+
+def test_cls_agnostic_bbox_reg():
+    """MODEL.CLS_AGNOSTIC_BBOX_REG shrinks bbox_pred to one shared (bg,fg)
+    pair broadcast over classes (reference roi_box_predictors.py +
+    box_head/inference.py expand)."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.models.build import build_detection_model
+
+    cfg = get_default_config()
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 5
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.RES5_BLOCKS = 1
+    cfg.TPU.RES5_BOTTLENECK = 16
+    cfg.TPU.RES5_OUT = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_detection_model(cfg)
+    px = jnp.zeros((1, 64, 96, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0], [8.0, 8.0, 60.0, 50.0]]])
+    params = model.init(jax.random.PRNGKey(0), px, rois)
+    leaves = {jax.tree_util.keystr(k): v.shape for k, v in
+              jax.tree_util.tree_flatten_with_path(params)[0]}
+    bp = [s for p, s in leaves.items()
+          if "bbox_pred" in p and "roi_heads" in p and p.endswith("kernel']")]
+    assert bp == [(32, 8)], bp  # 2 classes x 4, not 5 x 4
+    out = model.apply(params, px, rois)
+    assert out["box_reg"].shape == (1, 2, 20)  # broadcast back to 5 classes
+    r = np.asarray(out["box_reg"]).reshape(2, 5, 4)
+    assert np.allclose(r, r[:, :1, :])  # every class row identical
