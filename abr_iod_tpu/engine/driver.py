@@ -39,7 +39,16 @@ def make_data_source(cfg, dataset_name: str, mode: str):
     Factory dispatch mirrors the reference's data/build.py build_dataset
     over paths_catalog factories (PascalVOCDataset / COCODataset /
     PascalVOCDataset2012)."""
-    spec = DatasetCatalog.get(dataset_name)
+    catalog = DatasetCatalog
+    custom = str(cfg.get("PATHS_CATALOG", "") or "")
+    if custom:
+        # the reference lets cfg.PATHS_CATALOG point at a user catalog
+        # module (data/build.py:145 import_file); same indirection here
+        from ..utils.misc import import_file
+
+        module = import_file("abr_iod_tpu.user_paths_catalog", custom)
+        catalog = module.DatasetCatalog
+    spec = catalog.get(dataset_name)
     root = spec["root"]
     factory = spec.get("factory", "PascalVOCDataset")
     if factory in ("COCODataset", "PascalVOCDataset2012"):

@@ -133,3 +133,37 @@ def test_make_data_source_dispatches_coco_and_instance(tmp_path, cfg):
     finally:
         DatasetCatalog.DATASETS = old
         DatasetCatalog.DATA_DIR = saved_dd
+
+
+def test_paths_catalog_indirection(tmp_path, cfg):
+    """cfg.PATHS_CATALOG points at a user catalog module; its DatasetCatalog
+    resolves dataset names (reference data/build.py:145 import_file)."""
+    import os
+
+    cat = tmp_path / "my_catalog.py"
+    root = tmp_path / "VOCx"
+    cat.write_text(
+        "class DatasetCatalog:\n"
+        "    @staticmethod\n"
+        "    def get(name):\n"
+        f"        assert name == 'my_voc'\n"
+        f"        return {{'root': {str(root)!r}, 'split': 'trainval',\n"
+        "                'factory': 'PascalVOCDataset'}\n"
+    )
+    # minimal VOC tree so VOCDataSource can construct
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "JPEGImages").mkdir()
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text("")
+    from abr_iod_tpu.config import VOC_CLASSES
+
+    for c in VOC_CLASSES:
+        (root / "ImageSets" / "Main" / f"{c}_trainval.txt").write_text("")
+
+    from abr_iod_tpu.engine.driver import make_data_source
+
+    cfg = cfg.clone()
+    cfg.defrost() if hasattr(cfg, "defrost") else None
+    cfg.PATHS_CATALOG = str(cat)
+    src = make_data_source(cfg, "my_voc", "train_new")
+    assert len(src) == 0  # empty split resolved through the custom catalog
