@@ -310,7 +310,7 @@ _C.TPU.MESH_MODEL = 1
 _C.TPU.EVAL_NMS_PER_CLASS_TOPK = 100  # per-class NMS cap at eval time
 # backbone/head size overrides (defaults = R-50-C4; tests shrink these)
 _C.TPU.BACKBONE_STAGES = (3, 4, 6)
-_C.TPU.FPN_BACKBONE_STAGES = (3, 4, 6, 3)  # 4 stages for the FPN detector
+_C.TPU.FPN_BACKBONE_STAGES = ()  # () = derive from CONV_BODY; tests shrink it
 _C.TPU.RES5_BLOCKS = 3
 _C.TPU.RES5_BOTTLENECK = 512
 _C.TPU.RES5_OUT = 2048

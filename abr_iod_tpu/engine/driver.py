@@ -33,22 +33,24 @@ from .train import Batch, TrainState, make_train_step
 
 
 # --------------------------------------------------------------- datasets
+def _resolve_catalog(cfg):
+    """The reference lets cfg.PATHS_CATALOG point at a user catalog module
+    (data/build.py:145 import_file); same indirection here."""
+    custom = str(cfg.get("PATHS_CATALOG", "") or "")
+    if not custom:
+        return DatasetCatalog
+    from ..utils.misc import import_file
+
+    return import_file("abr_iod_tpu.user_paths_catalog", custom).DatasetCatalog
+
+
 def make_data_source(cfg, dataset_name: str, mode: str):
     """mode: train_new | test_all | sample_new (see data/voc.py).
 
     Factory dispatch mirrors the reference's data/build.py build_dataset
     over paths_catalog factories (PascalVOCDataset / COCODataset /
     PascalVOCDataset2012)."""
-    catalog = DatasetCatalog
-    custom = str(cfg.get("PATHS_CATALOG", "") or "")
-    if custom:
-        # the reference lets cfg.PATHS_CATALOG point at a user catalog
-        # module (data/build.py:145 import_file); same indirection here
-        from ..utils.misc import import_file
-
-        module = import_file("abr_iod_tpu.user_paths_catalog", custom)
-        catalog = module.DatasetCatalog
-    spec = catalog.get(dataset_name)
+    spec = _resolve_catalog(cfg).get(dataset_name)
     root = spec["root"]
     factory = spec.get("factory", "PascalVOCDataset")
     if factory in ("COCODataset", "PascalVOCDataset2012"):
@@ -72,7 +74,7 @@ def make_data_source(cfg, dataset_name: str, mode: str):
         return VOC2012InstanceDataSource(
             spec["ann_file"], spec["img_dir"], **kwargs
         )
-    if spec["factory"].startswith("Synthetic"):
+    if factory.startswith("Synthetic"):
         root = os.path.join(DatasetCatalog.DATA_DIR, "synthetic_voc/VOC2007")
         if not os.path.isdir(os.path.join(root, "JPEGImages")):
             from ..data.synthetic import make_synthetic_voc
@@ -557,11 +559,15 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     # protocol dispatch like the reference's per-dataset evaluation
     # (data/datasets/evaluation/__init__.py): COCO-json datasets score
     # with the COCO protocol, everything else with VOC AP
-    factories = {
-        DatasetCatalog.get(n).get("factory", "PascalVOCDataset")
-        for n in tuple(cfg.DATASETS.TEST)
-        if n in DatasetCatalog.DATASETS
-    }
+    catalog = _resolve_catalog(cfg)
+
+    def _factory_of(n):
+        try:
+            return catalog.get(n).get("factory", "PascalVOCDataset")
+        except Exception:
+            return "PascalVOCDataset"
+
+    factories = {_factory_of(n) for n in tuple(cfg.DATASETS.TEST)}
     if factories == {"COCODataset"}:
         from ..evaluation.coco_eval import eval_detection_coco
 

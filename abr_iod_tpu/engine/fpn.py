@@ -156,12 +156,28 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
 
         mask_logits = model.apply(params, pyramid, rois, method="mask_heads")
         mask_loss = mask_rcnn_loss_from_crops(
-            mask_logits, rois, rlabels, rpos, batch.gt_mask_crops,
+            mask_logits, rois, rlabels, rvalid & rpos, batch.gt_mask_crops,
             batch.gt_boxes, rmatched,
         )
         total = total + mask_loss
         metrics["loss_mask"] = mask_loss
-        metrics["loss"] = total
+
+    if batch.gt_keypoints is not None and getattr(model, "keypoint_on", False):
+        from ..models.keypoint_head import keypoint_rcnn_loss
+
+        kp_logits = model.apply(params, pyramid, rois, method="keypoint_heads")
+        b_, s_ = rois.shape[:2]
+        roi_kps = jax.vmap(lambda kps, m: kps[m])(batch.gt_keypoints, rmatched)
+        loss_kp = keypoint_rcnn_loss(
+            kp_logits.reshape((b_ * s_,) + kp_logits.shape[2:]),
+            rois.reshape(b_ * s_, 4),
+            roi_kps.reshape(b_ * s_, *roi_kps.shape[2:]),
+            (rvalid & rpos).reshape(b_ * s_),
+        )
+        total = total + loss_kp
+        metrics["loss_kp"] = loss_kp
+
+    metrics["loss"] = total
     return total, metrics
 
 
@@ -198,12 +214,37 @@ def make_fpn_eval_step(model, cfg, canvas_hw):
         cls_logits, box_reg, _, _ = model.apply(
             params, pyramid, pb, method="roi_heads"
         )
-        return postprocess_detections(
+        dets = postprocess_detections(
             cls_logits, box_reg, pb, pv, sizes,
             score_thresh=float(cfg.MODEL.ROI_HEADS.SCORE_THRESH),
             nms_thresh=float(cfg.MODEL.ROI_HEADS.NMS),
             detections_per_img=int(cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG),
             per_class_topk=int(cfg.TPU.EVAL_NMS_PER_CLASS_TOPK),
         )
+        # same (dets, extras) contract as the C4 eval step
+        # (engine/inference.py:49-75) so run_test handles both families
+        if getattr(model, "mask_on", False):
+            mask_logits = model.apply(
+                params, pyramid, dets.boxes, method="mask_heads"
+            )
+            per_class = jnp.take_along_axis(
+                mask_logits,
+                dets.labels.clip(0)[:, :, None, None, None].astype(jnp.int32),
+                axis=4,
+            )[..., 0]
+            return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
+        if getattr(model, "keypoint_on", False):
+            from ..models.keypoint_head import heatmaps_to_keypoints
+
+            kp_logits = model.apply(
+                params, pyramid, dets.boxes, method="keypoint_heads"
+            )
+            b, d = kp_logits.shape[:2]
+            kps = heatmaps_to_keypoints(
+                kp_logits.reshape((b * d,) + kp_logits.shape[2:]),
+                dets.boxes.reshape(b * d, 4),
+            )
+            return dets, kps.reshape(b, d, -1, 3)
+        return dets
 
     return eval_step, None

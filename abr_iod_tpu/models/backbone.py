@@ -28,6 +28,11 @@ class ResNetFPNBackbone(nn.Module):
     num_groups: int = 1
     stride_in_1x1: bool = True
     stem_out_channels: int = 64
+    norm: str = "frozen_bn"  # TRANS_FUNC
+    stage_with_dcn: tuple = (False, False, False, False)
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
 
     @nn.compact
     def __call__(self, x):
@@ -41,6 +46,11 @@ class ResNetFPNBackbone(nn.Module):
             num_groups=self.num_groups,
             stride_in_1x1=self.stride_in_1x1,
             stem_out_channels=self.stem_out_channels,
+            norm=self.norm,
+            stage_with_dcn=tuple(self.stage_with_dcn),
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            gn=self.gn,
             name="body",
         )
         _, backbone_features = body(x)  # [C2, C3, C4, C5]
@@ -50,6 +60,7 @@ class ResNetFPNBackbone(nn.Module):
             dtype=self.dtype,
             use_gn=self.fpn_use_gn,
             use_relu=self.fpn_use_relu,
+            gn=self.gn,
             name="fpn",
         )(backbone_features)
         return pyramid, backbone_features

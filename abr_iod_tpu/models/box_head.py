@@ -44,6 +44,7 @@ class RoiBoxHead(nn.Module):
     # broadcast to every class before returning so downstream gather/
     # decode semantics are unchanged
     cls_agnostic_bbox_reg: bool = False
+    gn: tuple = (32, -1, 1e-5)
 
     @nn.compact
     def __call__(self, features, rois, rois_valid=None):
@@ -86,6 +87,7 @@ class RoiBoxHead(nn.Module):
             groups=self.groups,
             dilation=self.res5_dilation,
             stride_in_1x1=self.stride_in_1x1,
+            gn=self.gn,
             name="res5",
         )(x)  # [BS, 4, 4, 2048]
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [BS, 2048]

@@ -10,6 +10,14 @@ from .detector import FasterRCNN
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 
+def _gn_tuple(cfg):
+    """MODEL.GROUP_NORM.* → (num_groups, dim_per_gp, epsilon)."""
+    g = cfg.MODEL.get("GROUP_NORM", None)
+    if g is None:
+        return (32, -1, 1e-5)
+    return (int(g.NUM_GROUPS), int(g.DIM_PER_GP), float(g.EPSILON))
+
+
 def _trans_func_norm(trans_func: str) -> str:
     """TRANS_FUNC registry (reference resnet.py:5-14) → norm kind."""
     table = {
@@ -96,6 +104,7 @@ def build_detection_model(cfg):
         modulated_dcn=bool(cfg.MODEL.RESNETS.get("WITH_MODULATED_DCN", False)),
         dcn_groups=int(cfg.MODEL.RESNETS.get("DEFORMABLE_GROUPS", 1)),
         num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
+        gn=_gn_tuple(cfg),
         mask_predictor_name=str(cfg.MODEL.ROI_MASK_HEAD.get(
             "PREDICTOR", "MaskRCNNC4Predictor")),
         keypoint_conv_layers=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.get(

@@ -59,6 +59,7 @@ class FasterRCNN(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     stem_out_channels: int = 64
+    gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
     # RoI pooler geometry (cfg.MODEL.ROI_BOX_HEAD.POOLER_*)
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16
@@ -86,6 +87,7 @@ class FasterRCNN(nn.Module):
             num_groups=self.num_groups,
             stride_in_1x1=self.stride_in_1x1,
             stem_out_channels=self.stem_out_channels,
+            gn=self.gn,
             name="backbone",
         )
         self.rpn_head = RPNHead(

@@ -26,6 +26,7 @@ class FPN(nn.Module):
     # uniform — GN + ReLU wrap the lateral/output convs when enabled)
     use_gn: bool = False
     use_relu: bool = False
+    gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
@@ -40,8 +41,13 @@ class FPN(nn.Module):
                         kernel_init=nn.initializers.kaiming_uniform(),
                         name=name)(x)
             if self.use_gn:
-                y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                                 name=f"{name}_gn")(y)
+                from .make_layers import group_norm
+
+                y = group_norm(
+                    self.out_channels, num_groups=int(self.gn[0]),
+                    dim_per_gp=int(self.gn[1]), epsilon=float(self.gn[2]),
+                    dtype=self.dtype, name=f"{name}_gn",
+                )(y)
             if self.use_relu:
                 y = nn.relu(y)
             return y

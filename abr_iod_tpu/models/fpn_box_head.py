@@ -34,6 +34,7 @@ class FPNBoxHead(nn.Module):
     conv_head_dim: int = 256
     num_stacked_convs: int = 4
     dilation: int = 1
+    gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
@@ -59,8 +60,13 @@ class FPNBoxHead(nn.Module):
                     dtype=self.dtype, name=f"xconv{ix}",
                 )(x)
                 if self.use_gn:
-                    x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                     dtype=self.dtype, name=f"xconv{ix}_gn")(x)
+                    from .make_layers import group_norm
+
+                    x = group_norm(
+                        self.conv_head_dim, num_groups=int(self.gn[0]),
+                        dim_per_gp=int(self.gn[1]), epsilon=float(self.gn[2]),
+                        dtype=self.dtype, name=f"xconv{ix}_gn",
+                    )(x)
                 x = nn.relu(x)
             x = x.reshape(b * s, -1)
             x = nn.relu(nn.Dense(self.representation_size, name="fc6",

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from .backbone import ResNetFPNBackbone
 from .fpn import fpn_roi_align
 from .fpn_box_head import FPNBoxHead
+from .keypoint_head import KeypointRCNNFeatureExtractor, KeypointRCNNPredictor
 from .mask_head import MaskRCNNC4Predictor, MaskRCNNFPNFeatureExtractor
 from .resnet import R50_STAGES
 from .rpn import RPNHead
@@ -41,6 +42,9 @@ class FasterRCNNFPN(nn.Module):
     num_classes: int
     num_anchors: int = 3  # per location per level: len(ASPECT_RATIOS)
     mask_on: bool = False
+    keypoint_on: bool = False
+    keypoint_conv_layers: tuple = tuple(512 for _ in range(8))
+    num_keypoints: int = 17
     stages: tuple = R50_STAGES
     width_per_group: int = 64
     res2_out_channels: int = 256
@@ -63,6 +67,11 @@ class FasterRCNNFPN(nn.Module):
     num_groups: int = 1
     stride_in_1x1: bool = True
     stem_out_channels: int = 64
+    norm: str = "frozen_bn"  # TRANS_FUNC
+    stage_with_dcn: tuple = (False, False, False, False)
+    modulated_dcn: bool = False
+    dcn_groups: int = 1
+    gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
 
     is_fpn: bool = True  # engine dispatch flag (train.py / inference.py)
 
@@ -81,6 +90,11 @@ class FasterRCNNFPN(nn.Module):
             num_groups=self.num_groups,
             stride_in_1x1=self.stride_in_1x1,
             stem_out_channels=self.stem_out_channels,
+            norm=self.norm,
+            stage_with_dcn=tuple(self.stage_with_dcn),
+            modulated_dcn=self.modulated_dcn,
+            dcn_groups=self.dcn_groups,
+            gn=self.gn,
             name="backbone",
         )
         self.rpn_head = RPNHead(
@@ -98,6 +112,7 @@ class FasterRCNNFPN(nn.Module):
             conv_head_dim=self.conv_head_dim,
             num_stacked_convs=self.num_stacked_convs,
             dilation=self.xconv_dilation,
+            gn=self.gn,
             name="roi_heads",
         )
         if self.mask_on:
@@ -107,6 +122,15 @@ class FasterRCNNFPN(nn.Module):
             )
             self.mask_predictor = MaskRCNNC4Predictor(
                 num_classes=self.num_classes, dtype=self.dtype, name="mask_head"
+            )
+        if self.keypoint_on:
+            self.keypoint_extractor = KeypointRCNNFeatureExtractor(
+                layers=tuple(self.keypoint_conv_layers), dtype=self.dtype,
+                name="keypoint_fcn",
+            )
+            self.keypoint_predictor = KeypointRCNNPredictor(
+                num_keypoints=self.num_keypoints, dtype=self.dtype,
+                name="keypoint_head",
             )
 
     def backbone(self, pixels):
@@ -139,6 +163,24 @@ class FasterRCNNFPN(nn.Module):
         logits = self.mask_predictor(self.mask_extractor(x))
         return logits.reshape((b, s) + logits.shape[1:])
 
+    def keypoint_heads(self, pyramid, rois):
+        """FPN keypoint branch (the reference's Keypoint R-CNN layout:
+        own 14x14 pool → conv stack → deconv predictor)."""
+        if not self.keypoint_on:
+            raise ValueError("model built without keypoint_on")
+        b, s = rois.shape[:2]
+        pool = jax.vmap(
+            lambda fs, r: fpn_roi_align(
+                fs, r, output_size=self.mask_pooler_resolution,
+                scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
+                sampling_ratio=self.pooler_sampling_ratio,
+            ),
+            in_axes=(0, 0),
+        )(list(pyramid)[:4], rois)
+        x = pool.reshape((b * s,) + pool.shape[2:])
+        heat = self.keypoint_predictor(self.keypoint_extractor(x))
+        return heat.reshape((b, s) + heat.shape[1:])
+
     def __call__(self, pixels, rois):
         """Init/inspection path."""
         pyramid, _ = self.backbone(pixels)
@@ -153,27 +195,34 @@ class FasterRCNNFPN(nn.Module):
         }
         if self.mask_on:
             out["mask_logits"] = self.mask_heads(pyramid, rois)
+        if self.keypoint_on:
+            out["keypoint_logits"] = self.keypoint_heads(pyramid, rois)
         return out
 
 
 def build_fpn_detector(cfg):
-    from .build import _trans_func_norm  # validated dispatch
+    from .build import _DTYPES, _gn_tuple, _trans_func_norm
 
-    _ = _trans_func_norm(str(cfg.MODEL.RESNETS.get(
+    norm = _trans_func_norm(str(cfg.MODEL.RESNETS.get(
         "TRANS_FUNC", "BottleneckWithFixedBatchNorm")))
     body = str(cfg.MODEL.BACKBONE.CONV_BODY)
     from .resnet import R101_STAGES
 
-    stages = R101_STAGES if "101" in body else R50_STAGES
+    # TPU.FPN_BACKBONE_STAGES: () = derive from CONV_BODY (tests shrink it)
+    stages = tuple(cfg.TPU.get("FPN_BACKBONE_STAGES", ())) or (
+        R101_STAGES if "101" in body else R50_STAGES
+    )
     bh = cfg.MODEL.ROI_BOX_HEAD
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        str(cfg.TPU.COMPUTE_DTYPE)
-    ]
+    dtype = _DTYPES[str(cfg.TPU.COMPUTE_DTYPE)]
     return FasterRCNNFPN(
         num_classes=int(bh.NUM_CLASSES),
         num_anchors=len(tuple(cfg.MODEL.RPN.ASPECT_RATIOS)),
         mask_on=bool(cfg.MODEL.MASK_ON),
-        stages=tuple(cfg.TPU.get("FPN_BACKBONE_STAGES", stages)),
+        keypoint_on=bool(cfg.MODEL.KEYPOINT_ON),
+        keypoint_conv_layers=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.get(
+            "CONV_LAYERS", tuple(512 for _ in range(8)))),
+        num_keypoints=int(cfg.MODEL.ROI_KEYPOINT_HEAD.get("NUM_CLASSES", 17)),
+        stages=stages,
         width_per_group=int(cfg.MODEL.RESNETS.WIDTH_PER_GROUP),
         res2_out_channels=int(cfg.MODEL.RESNETS.RES2_OUT_CHANNELS),
         fpn_out_channels=int(cfg.MODEL.RESNETS.get("BACKBONE_OUT_CHANNELS", 256)),
@@ -198,4 +247,10 @@ def build_fpn_detector(cfg):
         num_groups=int(cfg.MODEL.RESNETS.NUM_GROUPS),
         stride_in_1x1=bool(cfg.MODEL.RESNETS.STRIDE_IN_1X1),
         stem_out_channels=int(cfg.MODEL.RESNETS.get("STEM_OUT_CHANNELS", 64)),
+        norm=norm,
+        stage_with_dcn=tuple(bool(b) for b in cfg.MODEL.RESNETS.get(
+            "STAGE_WITH_DCN", (False, False, False, False))),
+        modulated_dcn=bool(cfg.MODEL.RESNETS.get("WITH_MODULATED_DCN", False)),
+        dcn_groups=int(cfg.MODEL.RESNETS.get("DEFORMABLE_GROUPS", 1)),
+        gn=_gn_tuple(cfg),
     )

@@ -9,10 +9,36 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-def group_norm(num_groups: int = 32, epsilon: float = 1e-5, dtype: Any = jnp.float32):
+def gn_num_groups(features: int, num_groups: int = 32, dim_per_gp: int = -1) -> int:
+    """Group count per the reference rule (make_layers.py get_group_gn:
+    DIM_PER_GP > 0 wins, else NUM_GROUPS), degraded to the largest
+    divisor so tiny test channel counts don't crash."""
+    import math
+
+    if dim_per_gp > 0:
+        target = max(features // dim_per_gp, 1)
+    else:
+        target = num_groups
+    return math.gcd(target, features)
+
+
+def group_norm(features: int | None = None, num_groups: int = 32,
+               epsilon: float = 1e-5, dim_per_gp: int = -1,
+               dtype: Any = jnp.float32, name: str | None = None,
+               scale_init=None):
     """GroupNorm module factory (reference make_layers.py group_norm:
-    cfg.MODEL.GROUP_NORM.{NUM_GROUPS,EPSILON})."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon, dtype=dtype)
+    cfg.MODEL.GROUP_NORM.{NUM_GROUPS,DIM_PER_GP,EPSILON}).  Every GN in
+    the tree is built here so the GROUP_NORM config keys have ONE home."""
+    groups = (
+        gn_num_groups(features, num_groups, dim_per_gp)
+        if features is not None else num_groups
+    )
+    kwargs = {}
+    if scale_init is not None:
+        kwargs["scale_init"] = scale_init
+    return nn.GroupNorm(
+        num_groups=groups, epsilon=epsilon, dtype=dtype, name=name, **kwargs
+    )
 
 
 def make_conv3x3(out_channels: int, dilation: int = 1, stride: int = 1,
@@ -41,7 +67,7 @@ def make_conv3x3(out_channels: int, dilation: int = 1, stride: int = 1,
         def __call__(self, x):
             y = conv_factory()(x)
             if use_gn:
-                y = group_norm(dtype=dtype)(y)
+                y = group_norm(out_channels, dtype=dtype)(y)
             if use_relu:
                 y = nn.relu(y)
             return y

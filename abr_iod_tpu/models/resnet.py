@@ -63,21 +63,24 @@ def _conv(features, kernel, stride, name, dtype, use_bias=False, groups=1,
     )
 
 
-def _norm(kind: str, features: int, dtype, name: str, zero_init: bool = False):
-    """Reference TRANS_FUNC dispatch: FrozenBN (BottleneckWithFixedBatchNorm)
-    or GroupNorm-32 (BottleneckWithGN, make_layers.py group_norm).  GN
-    variants use gn* module names so the optimizer's frozen-BN mask
-    (solver/optim.py FROZEN_BN_SEGMENTS) does NOT freeze them — GN params
-    train in the reference."""
-    if kind == "gn":
-        import math
+DEFAULT_GN = (32, -1, 1e-5)  # (NUM_GROUPS, DIM_PER_GP, EPSILON)
 
-        # 32 groups (reference GROUP_NORM.NUM_GROUPS) whenever it divides
-        # the channel count — true for every real ResNet width; tiny test
-        # models degrade to the largest divisor
-        return nn.GroupNorm(
-            num_groups=math.gcd(32, features), epsilon=1e-5, dtype=dtype,
-            scale_init=nn.initializers.zeros if zero_init else nn.initializers.ones,
+
+def _norm(kind: str, features: int, dtype, name: str, zero_init: bool = False,
+          gn: tuple = DEFAULT_GN):
+    """Reference TRANS_FUNC dispatch: FrozenBN (BottleneckWithFixedBatchNorm)
+    or GroupNorm (BottleneckWithGN) built via the one GN factory
+    (make_layers.group_norm — MODEL.GROUP_NORM.* keys flow through the
+    ``gn`` tuple).  GN variants use gn* module names so the optimizer's
+    frozen-BN mask (solver/optim.py FROZEN_BN_SEGMENTS) does NOT freeze
+    them — GN params train in the reference."""
+    if kind == "gn":
+        from .make_layers import group_norm
+
+        return group_norm(
+            features, num_groups=int(gn[0]), dim_per_gp=int(gn[1]),
+            epsilon=float(gn[2]), dtype=dtype,
+            scale_init=nn.initializers.zeros if zero_init else None,
             name=name.replace("bn", "gn"),
         )
     return FrozenBatchNorm(
@@ -149,6 +152,7 @@ class Bottleneck(nn.Module):
     groups: int = 1  # MODEL.RESNETS.NUM_GROUPS (ResNeXt)
     dilation: int = 1  # RES5_DILATION on the res5 head
     stride_in_1x1: bool = True  # MODEL.RESNETS.STRIDE_IN_1X1
+    gn: tuple = DEFAULT_GN  # MODEL.GROUP_NORM.* when norm == 'gn'
 
     @nn.compact
     def __call__(self, x):
@@ -160,9 +164,9 @@ class Bottleneck(nn.Module):
         if in_channels != self.out_channels or self.stride != 1:
             residual = _conv(self.out_channels, 1, stride, "downsample_conv", self.dtype)(x)
             residual = _norm(self.norm, self.out_channels, self.dtype,
-                             "downsample_bn")(residual)
+                             "downsample_bn", gn=self.gn)(residual)
         out = _conv(self.bottleneck_channels, 1, s1, "conv1", self.dtype)(x)
-        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn1")(out)
+        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn1", gn=self.gn)(out)
         out = nn.relu(out)
         if self.with_dcn:
             if self.groups != 1 or self.dilation != 1:
@@ -174,7 +178,7 @@ class Bottleneck(nn.Module):
         else:
             out = _conv(self.bottleneck_channels, 3, s3, "conv2", self.dtype,
                         groups=self.groups, dilation=self.dilation)(out)
-        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn2")(out)
+        out = _norm(self.norm, self.bottleneck_channels, self.dtype, "bn2", gn=self.gn)(out)
         out = nn.relu(out)
         out = _conv(self.out_channels, 1, 1, "conv3", self.dtype)(out)
         # zero-init the residual branch's last norm scale: keeps random-init
@@ -182,7 +186,7 @@ class Bottleneck(nn.Module):
         # weights overwrite this; the reference always loads ImageNet
         # weights so it never needed the guard)
         out = _norm(self.norm, self.out_channels, self.dtype, "bn3",
-                    zero_init=True)(out)
+                    zero_init=True, gn=self.gn)(out)
         return nn.relu(out + residual)
 
 
@@ -200,13 +204,14 @@ class Stage(nn.Module):
     groups: int = 1
     dilation: int = 1
     stride_in_1x1: bool = True
+    gn: tuple = DEFAULT_GN
 
     @nn.compact
     def __call__(self, x):
         kw = dict(norm=self.norm, with_dcn=self.with_dcn,
                   modulated_dcn=self.modulated_dcn, dcn_groups=self.dcn_groups,
                   groups=self.groups, dilation=self.dilation,
-                  stride_in_1x1=self.stride_in_1x1)
+                  stride_in_1x1=self.stride_in_1x1, gn=self.gn)
         if not self.scan_blocks or self.block_count <= 2 or self.with_dcn:
             for i in range(self.block_count):
                 x = Bottleneck(
@@ -241,6 +246,9 @@ class Stage(nn.Module):
             out_channels=self.out_channels,
             dtype=self.dtype,
             norm=self.norm,
+            groups=self.groups,
+            dilation=self.dilation,
+            gn=self.gn,
             name="block_rest",
         )
         x, _ = scanned(x, None)
@@ -252,12 +260,16 @@ class _BottleneckScanBody(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     norm: str = "frozen_bn"
+    groups: int = 1
+    dilation: int = 1
+    gn: tuple = DEFAULT_GN
 
     @nn.compact
     def __call__(self, carry, _):
         y = Bottleneck(
             self.bottleneck_channels, self.out_channels, stride=1,
-            dtype=self.dtype, norm=self.norm, name="block",
+            dtype=self.dtype, norm=self.norm, groups=self.groups,
+            dilation=self.dilation, gn=self.gn, name="block",
         )(carry)
         return y, None
 
@@ -307,6 +319,7 @@ class Stem(nn.Module):
     dtype: Any = jnp.float32
     space_to_depth: bool = True
     norm: str = "frozen_bn"  # StemWithFixedBatchNorm | StemWithGN
+    gn: tuple = DEFAULT_GN
 
     @nn.compact
     def __call__(self, x):
@@ -314,7 +327,7 @@ class Stem(nn.Module):
             x = _StemConvS2D(self.out_channels, self.dtype, name="conv1")(x)
         else:
             x = _conv(self.out_channels, 7, 2, "conv1", self.dtype)(x)
-        x = _norm(self.norm, self.out_channels, self.dtype, "bn1")(x)
+        x = _norm(self.norm, self.out_channels, self.dtype, "bn1", gn=self.gn)(x)
         x = nn.relu(x)
         # maxpool 3x3 stride 2 pad 1 (torch semantics)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -356,11 +369,12 @@ class ResNetC4(nn.Module):
     num_groups: int = 1  # MODEL.RESNETS.NUM_GROUPS (ResNeXt)
     stride_in_1x1: bool = True  # MODEL.RESNETS.STRIDE_IN_1X1
     stem_out_channels: int = 64  # MODEL.RESNETS.STEM_OUT_CHANNELS
+    gn: tuple = DEFAULT_GN  # MODEL.GROUP_NORM.*
 
     @nn.compact
     def __call__(self, x):
         x = Stem(out_channels=self.stem_out_channels, dtype=self.dtype,
-                 norm=self.norm, name="stem")(x.astype(self.dtype))
+                 norm=self.norm, gn=self.gn, name="stem")(x.astype(self.dtype))
         if self.freeze_all or self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         backbone_features = []
@@ -376,6 +390,7 @@ class ResNetC4(nn.Module):
                 norm=self.norm,
                 groups=self.num_groups,
                 stride_in_1x1=self.stride_in_1x1,
+                gn=self.gn,
                 with_dcn=bool(self.stage_with_dcn[idx])
                 if idx < len(self.stage_with_dcn) else False,
                 modulated_dcn=self.modulated_dcn,
@@ -403,6 +418,7 @@ class Res5Head(nn.Module):
     groups: int = 1
     dilation: int = 1  # MODEL.RESNETS.RES5_DILATION
     stride_in_1x1: bool = True
+    gn: tuple = DEFAULT_GN
 
     @nn.compact
     def __call__(self, x):
@@ -419,5 +435,6 @@ class Res5Head(nn.Module):
             groups=self.groups,
             dilation=self.dilation,
             stride_in_1x1=self.stride_in_1x1,
+            gn=self.gn,
             name="layer4",
         )(x)

@@ -140,3 +140,80 @@ def test_unknown_conv_body_rejected():
     cfg.MODEL.BACKBONE.CONV_BODY = "R-50-C6"
     with pytest.raises(ValueError, match="CONV_BODY"):
         build_detection_model(cfg)
+
+
+def test_r101_fpn_gets_true_depth():
+    """R-101-FPN must build 23 blocks in layer3 — the TPU stages knob only
+    overrides when explicitly set (review finding: the default knob used
+    to shadow the CONV_BODY-derived depth)."""
+    from abr_iod_tpu.models.fpn_detector import build_fpn_detector
+
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-101-FPN"
+    cfg.TPU.FPN_BACKBONE_STAGES = ()  # derive from CONV_BODY
+    model = build_fpn_detector(cfg)
+    assert tuple(model.stages) == (3, 4, 23, 3)
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+    assert tuple(build_fpn_detector(cfg).stages) == (3, 4, 6, 3)
+
+
+def test_fpn_gn_and_dcn_take_effect():
+    """TRANS_FUNC / STAGE_WITH_DCN must reach the FPN body too (review
+    finding: they were validated then discarded)."""
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithGN"
+    cfg.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, True, False)
+    model = build_detection_model(cfg)
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
+    flat = {jax.tree_util.keystr(k) for k, _ in
+            jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert any("gn1" in k for k in flat), "GN not wired into FPN body"
+    assert any("layer3" in k and "offset" in k for k in flat), "DCN not wired"
+
+
+def test_fpn_mask_eval_returns_dets_and_probs():
+    """The FPN eval step must honor the C4 (dets, extras) contract so
+    run_test's mask unpack works (review finding: it returned a bare
+    Detections and crashed MASK_ON eval)."""
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (8, 8)
+    model = build_detection_model(cfg)
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
+    eval_step, _ = make_eval_step(model, cfg, CANVAS)
+    sizes = jnp.asarray([list(CANVAS)], jnp.int32)
+    dets, mask_probs = eval_step(params, px, sizes)
+    d = dets.boxes.shape[1]
+    assert mask_probs.shape == (1, d, 28, 28)
+    assert np.isfinite(np.asarray(mask_probs)).all()
+
+
+def test_group_norm_config_keys_take_effect():
+    """MODEL.GROUP_NORM.{NUM_GROUPS,EPSILON,DIM_PER_GP} flow into every GN
+    site (review finding: they were dead keys with hardcoded 32/1e-5)."""
+    from abr_iod_tpu.models.make_layers import gn_num_groups
+
+    assert gn_num_groups(64, num_groups=16) == 16
+    assert gn_num_groups(64, num_groups=32, dim_per_gp=8) == 8  # 64/8 groups
+    assert gn_num_groups(16, num_groups=32) == 16  # degrade to divisor
+
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithGN"
+    cfg.MODEL.GROUP_NORM.NUM_GROUPS = 4
+    model = build_detection_model(cfg)
+    assert model.gn == (4, -1, 1e-5)
+    # FPN USE_GN with 16-channel maps no longer crashes (group fallback)
+    cfg2 = tiny_fpn_cfg()
+    cfg2.MODEL.FPN.USE_GN = True
+    model2 = build_detection_model(cfg2)
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params2 = jax.jit(model2.init)(jax.random.PRNGKey(0), px, rois)
+    out = model2.apply(params2, px, rois)
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()
