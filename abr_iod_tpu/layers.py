@@ -9,7 +9,7 @@ from .ops.roi_align_pallas import roi_align_pallas, make_roi_align_fused
 from .ops.roi_pool import roi_pool, roi_pool_batched
 from .ops.losses import smooth_l1_loss, sigmoid_focal_loss
 from .ops.deform_conv import deform_conv2d, deform_psroi_pool
-from .models.resnet import FrozenBatchNorm
+from .models.resnet import DFConv, FrozenBatchNorm
 
 __all__ = [
     "nms",
@@ -23,5 +23,6 @@ __all__ = [
     "sigmoid_focal_loss",
     "deform_conv2d",
     "deform_psroi_pool",
+    "DFConv",
     "FrozenBatchNorm",
 ]
