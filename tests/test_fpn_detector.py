@@ -217,3 +217,35 @@ def test_group_norm_config_keys_take_effect():
     params2 = jax.jit(model2.init)(jax.random.PRNGKey(0), px, rois)
     out = model2.apply(params2, px, rois)
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
+def test_fpn_keypoint_variant_trains_and_evals():
+    """KEYPOINT_ON with an FPN body builds the keypoint branch (review
+    finding: it used to be silently ignored), trains its loss, and the
+    eval step returns (dets, keypoints)."""
+    from abr_iod_tpu.engine.fpn import fpn_forward_detection_losses
+
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = (8, 8)
+    model = build_detection_model(cfg)
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
+
+    rng = np.random.RandomState(2)
+    b = synth_batch(rng, b=1)
+    kps = np.zeros((1, 8, 17, 3), np.float32)
+    kps[0, :, :, 0] = rng.uniform(5, 60, (8, 17))
+    kps[0, :, :, 1] = rng.uniform(5, 50, (8, 17))
+    kps[0, :, :, 2] = 1.0
+    batch = b._replace(gt_keypoints=jnp.asarray(kps))
+    total, metrics = fpn_forward_detection_losses(
+        model, params, batch, jax.random.PRNGKey(0), cfg
+    )
+    assert "loss_kp" in metrics and np.isfinite(float(metrics["loss_kp"]))
+
+    eval_step, _ = make_eval_step(model, cfg, CANVAS)
+    dets, kp_out = eval_step(params, px, jnp.asarray([list(CANVAS)], jnp.int32))
+    assert kp_out.shape[2:] == (17, 3)
+    assert np.isfinite(np.asarray(kp_out)).all()
