@@ -116,6 +116,7 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
         obj_f, reg_f, rpn_tgts, k_rpn,
         batch_size_per_image=int(cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE),
         positive_fraction=float(cfg.MODEL.RPN.POSITIVE_FRACTION),
+        anchors=anchors, gt_boxes=batch.gt_boxes,
     )
 
     pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, batch.sizes, cfg, True)

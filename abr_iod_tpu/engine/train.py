@@ -74,6 +74,7 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         obj_f, reg_f, rpn_tgts, k_rpn,
         batch_size_per_image=int(cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE),
         positive_fraction=float(cfg.MODEL.RPN.POSITIVE_FRACTION),
+        anchors=anchors, gt_boxes=batch.gt_boxes,
     )
 
     if getattr(model, "rpn_only", False):

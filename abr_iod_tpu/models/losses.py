@@ -28,13 +28,16 @@ from . import sampler as S
 
 class RpnTargets(NamedTuple):
     labels: jnp.ndarray  # [B, N] float: 1 pos, 0 neg, -1 discard
-    reg_targets: jnp.ndarray  # [B, N, 4]
+    matched_gt: jnp.ndarray  # [B, N] int32 matched gt slot (positives only)
 
 
 def prepare_rpn_targets(anchors, visibility, gt_boxes, gt_labels, gt_mask):
     """Per-image anchor labeling (reference rpn/loss.py:69-103).
 
-    anchors [N,4]; visibility [B,N] bool; gt_* [B,M,...].
+    anchors [N,4]; visibility [B,N] bool; gt_* [B,M,...].  Regression
+    targets are NOT materialized here — only sampled positives ever need
+    them (rpn_loss encodes the ≤128/img gathered positives; the
+    per-anchor [B,N,4] encode was ~2% of the train step).
     """
 
     def one(vis, boxes, mask):
@@ -44,21 +47,22 @@ def prepare_rpn_targets(anchors, visibility, gt_boxes, gt_labels, gt_mask):
         labels = jnp.where(res.matched_idx == M.BELOW_LOW_THRESHOLD, 0.0, labels)
         labels = jnp.where(~vis, -1.0, labels)
         labels = jnp.where(res.matched_idx == M.BETWEEN_THRESHOLDS, -1.0, labels)
-        matched_boxes = boxes[res.matched_gt]
-        reg = B.encode_boxes(matched_boxes, anchors, weights=(1.0, 1.0, 1.0, 1.0))
-        return labels, reg
+        return labels, res.matched_gt.astype(jnp.int32)
 
-    labels, reg = jax.vmap(one)(visibility, gt_boxes, gt_mask)
-    return RpnTargets(labels, reg)
+    labels, matched = jax.vmap(one)(visibility, gt_boxes, gt_mask)
+    return RpnTargets(labels, matched)
 
 
 def rpn_loss(objectness, box_regression, rpn_targets: RpnTargets, key,
-             batch_size_per_image: int = 256, positive_fraction: float = 0.5):
-    """objectness [B, N], box_regression [B, N, 4]. Returns (obj_loss, box_loss)."""
+             batch_size_per_image: int = 256, positive_fraction: float = 0.5,
+             anchors=None, gt_boxes=None):
+    """objectness [B, N], box_regression [B, N, 4]; anchors [N,4] and
+    gt_boxes [B,M,4] for encoding the sampled positives' regression
+    targets.  Returns (obj_loss, box_loss)."""
     bsz = objectness.shape[0]
     keys = jax.random.split(key, bsz)
-    pos_mask, neg_mask = jax.vmap(
-        lambda l, k: S.balanced_sample_masks(
+    pos_mask, pos_idx, pos_sel, neg_mask = jax.vmap(
+        lambda l, k: S.balanced_sample_with_indices(
             l.astype(jnp.int32), k, batch_size_per_image, positive_fraction
         )
     )(rpn_targets.labels, keys)
@@ -71,10 +75,19 @@ def rpn_loss(objectness, box_regression, rpn_targets: RpnTargets, key,
     bce = jnp.maximum(obj, 0) - obj * labels + jnp.log1p(jnp.exp(-jnp.abs(obj)))
     obj_loss = jnp.sum(jnp.where(sampled, bce, 0.0)) / num_sampled
 
-    box_l = smooth_l1_loss(
-        box_regression.astype(jnp.float32), rpn_targets.reg_targets, beta=1.0 / 9
-    ).sum(-1)
-    box_loss = jnp.sum(jnp.where(pos_mask, box_l, 0.0)) / num_sampled
+    # box loss over the GATHERED sampled positives only (identical math to
+    # masking the full per-anchor target array, minus its HBM traffic)
+    anchors_pos = anchors[pos_idx]  # [B, max_pos, 4]
+    matched_pos = jnp.take_along_axis(rpn_targets.matched_gt, pos_idx, axis=1)
+    boxes_pos = jax.vmap(lambda gb, m: gb[m])(gt_boxes, matched_pos)
+    reg_t = jax.vmap(
+        lambda bx, an: B.encode_boxes(bx, an, weights=(1.0, 1.0, 1.0, 1.0))
+    )(boxes_pos, anchors_pos)
+    pred_pos = jnp.take_along_axis(
+        box_regression.astype(jnp.float32), pos_idx[..., None], axis=1
+    )
+    box_l = smooth_l1_loss(pred_pos, reg_t, beta=1.0 / 9).sum(-1)
+    box_loss = jnp.sum(jnp.where(pos_sel, box_l, 0.0)) / num_sampled
     return obj_loss, box_loss
 
 

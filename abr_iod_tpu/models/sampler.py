@@ -17,8 +17,9 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
-def _sample_flagged_mask(flag, key, k_max: int, num):
-    """Mask selecting ``num`` uniformly-random True slots of ``flag``.
+def _sample_flagged(flag, key, k_max: int, num):
+    """``num`` uniformly-random True slots of ``flag``: returns
+    (mask [N], idx [k_max], sel [k_max]) where mask == scatter(sel at idx).
 
     Uses top-k over iid uniform keys — exactly uniform (any size-``num``
     subset of the flagged slots is equally likely, by exchangeability of
@@ -31,7 +32,7 @@ def _sample_flagged_mask(flag, key, k_max: int, num):
     score = jnp.where(flag, r, -1.0)
     _, idx = jax.lax.top_k(score, min(k_max, n))
     sel = jnp.arange(min(k_max, n)) < num  # flagged count >= num by construction
-    return jnp.zeros((n,), bool).at[idx].set(sel, mode="drop")
+    return jnp.zeros((n,), bool).at[idx].set(sel, mode="drop"), idx, sel
 
 
 def balanced_sample_masks(labels, key, batch_size: int, positive_fraction: float):
@@ -40,6 +41,18 @@ def balanced_sample_masks(labels, key, batch_size: int, positive_fraction: float
     Returns (pos_mask, neg_mask) [N] bool with
     |pos| = min(#pos, batch*frac), |neg| = min(#neg, batch - |pos|).
     """
+    pos_mask, _, _, neg_mask = balanced_sample_with_indices(
+        labels, key, batch_size, positive_fraction
+    )
+    return pos_mask, neg_mask
+
+
+def balanced_sample_with_indices(labels, key, batch_size: int,
+                                 positive_fraction: float):
+    """Like balanced_sample_masks but also exposes the fixed-size positive
+    index set (pos_idx [max_pos], pos_sel [max_pos]) so callers can gather
+    positives instead of masking the full array (the RPN box loss only
+    touches positives — no need to materialize per-anchor targets)."""
     kp, kn = jax.random.split(key)
     positive = labels >= 1
     negative = labels == 0
@@ -48,9 +61,9 @@ def balanced_sample_masks(labels, key, batch_size: int, positive_fraction: float
     num_neg = jnp.minimum(
         jnp.sum(negative.astype(jnp.int32)), batch_size - num_pos
     )
-    pos_mask = _sample_flagged_mask(positive, kp, max_pos, num_pos)
-    neg_mask = _sample_flagged_mask(negative, kn, batch_size, num_neg)
-    return pos_mask, neg_mask
+    pos_mask, pos_idx, pos_sel = _sample_flagged(positive, kp, max_pos, num_pos)
+    neg_mask, _, _ = _sample_flagged(negative, kn, batch_size, num_neg)
+    return pos_mask, pos_idx, pos_sel, neg_mask
 
 
 class RoiSample(NamedTuple):

@@ -92,7 +92,8 @@ def test_rpn_targets_and_loss():
     assert (labels == 0).sum() > 0
     obj = jnp.zeros((1, n))
     reg = jnp.zeros((1, n, 4))
-    ol, bl = L.rpn_loss(obj, reg, tgts, jax.random.PRNGKey(0))
+    ol, bl = L.rpn_loss(obj, reg, tgts, jax.random.PRNGKey(0),
+                        anchors=anchors, gt_boxes=gt_boxes)
     assert np.isfinite(float(ol)) and np.isfinite(float(bl))
     assert abs(float(ol) - np.log(2)) < 0.05  # zero logits → BCE ≈ ln2
 
