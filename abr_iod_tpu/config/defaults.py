@@ -284,20 +284,28 @@ _C.TPU.MAX_GT = 64  # padded ground-truth slots per image
 # (full-image masks don't batch statically; see structures/masks.py
 # resample_gt_crops_to_rois)
 _C.TPU.MASK_CROP_SIZE = 28
-# static pre-NMS top-k used by the compiled proposal selector; the
-# reference's 12000 is dynamic-shape-friendly on GPU but wasteful on TPU
-_C.TPU.PRE_NMS_TOP_N_TRAIN = 2048
-_C.TPU.PRE_NMS_TOP_N_TEST = 2048
-_C.TPU.POST_NMS_TOP_N_TRAIN = 512
-_C.TPU.POST_NMS_TOP_N_TEST = 512
+# Opt-in throughput mode: cap the static proposal shapes at 2048 pre-NMS /
+# 512 post-NMS and use approximate pre-NMS top-k (recall 0.98).  OFF by
+# default — the default statistics exactly match the reference recipe
+# (MODEL.RPN.{PRE,POST}_NMS_TOP_N_*), because the project is graded on mAP
+# parity and the measured throughput cost of parity is small (BASELINE.md).
+_C.TPU.FAST_PROPOSALS = False
+# static top-k caps for the compiled proposal selector.  -1 = auto: no cap
+# (reference statistics) normally, the fast caps under TPU.FAST_PROPOSALS.
+# Explicit positive values always win (tests shrink these for tiny shapes).
+_C.TPU.PRE_NMS_TOP_N_TRAIN = -1
+_C.TPU.PRE_NMS_TOP_N_TEST = -1
+_C.TPU.POST_NMS_TOP_N_TRAIN = -1
+_C.TPU.POST_NMS_TOP_N_TEST = -1
 # compute the frozen backbone prefix once per incremental step when the
 # teacher's and student's prefix weights are value-identical (they are,
 # by checkpoint chaining + zero updates; verified host-side, not assumed)
 _C.TPU.SHARE_FROZEN_PREFIX = True
 # recall target for jax.lax.approx_max_k over the pre-NMS candidate pool
 # (avoids a full sort over every anchor; NMS itself stays exact).
-# 0 = exact lax.top_k — the parity harness and strict-parity runs use 0.
-_C.TPU.APPROX_PRE_NMS_RECALL = 0.98
+# -1 = auto: 0 (exact lax.top_k, reference parity) normally, 0.98 under
+# TPU.FAST_PROPOSALS.  Explicit values always win.
+_C.TPU.APPROX_PRE_NMS_RECALL = -1.0
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)

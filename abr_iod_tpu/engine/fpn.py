@@ -24,7 +24,10 @@ from ..models import losses as L
 from ..models.anchors import grid_anchors, anchor_visibility
 from ..models.fpn_detector import FPN_STRIDES
 from ..models.postprocess import postprocess_detections
-from ..models.proposals import select_proposals, append_gt_proposals, effective_top_n
+from ..models.proposals import (
+    select_proposals, append_gt_proposals, effective_top_n, effective_approx_recall,
+    _cap as proposal_cap,
+)
 from ..models.rpn import flatten_rpn_outputs
 from .train import Batch, TrainState
 
@@ -52,10 +55,8 @@ def _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, train: bool):
     (reference rpn/inference.py:120-176)."""
     pre, post = effective_top_n(cfg, train=train)
     mode = "TRAIN" if train else "TEST"
-    fpn_post = min(
-        int(cfg.MODEL.RPN[f"FPN_POST_NMS_TOP_N_{mode}"]),
-        int(cfg.TPU[f"POST_NMS_TOP_N_{mode}"]),
-    )
+    fpn_post_ref = int(cfg.MODEL.RPN[f"FPN_POST_NMS_TOP_N_{mode}"])
+    fpn_post = min(fpn_post_ref, proposal_cap(cfg, "POST", mode, fpn_post_ref))
     boxes, scores, valid = [], [], []
     for (obj, reg), anchors in zip(rpn_outs, anchors_l):
         obj_f, reg_f = flatten_rpn_outputs(obj, reg)
@@ -67,7 +68,7 @@ def _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, train: bool):
             post_nms_top_n=post,
             nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
             min_size=float(cfg.MODEL.RPN.MIN_SIZE),
-            approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
+            approx_recall=effective_approx_recall(cfg),
         )
         boxes.append(p.boxes)
         scores.append(p.scores)

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from ..distillation import losses as D
 from ..models.anchors import anchors_for_shape
-from ..models.proposals import select_proposals, effective_top_n
+from ..models.proposals import (
+    select_proposals, effective_top_n, effective_approx_recall,
+)
 from ..models.rpn import flatten_rpn_outputs
 from .train import Batch, TrainState, forward_detection_losses
 
@@ -58,7 +60,7 @@ def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -
         post_nms_top_n=topk,
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
-        approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
+        approx_recall=effective_approx_recall(cfg),
     )
 
     # random-keep `keep` of the top-`topk` WITHOUT replacement

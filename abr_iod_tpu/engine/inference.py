@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 
 from ..models.anchors import anchors_for_shape
-from ..models.proposals import select_proposals, effective_top_n
+from ..models.proposals import (
+    select_proposals, effective_top_n, effective_approx_recall,
+)
 from ..models.postprocess import postprocess_detections
 from ..models.rpn import flatten_rpn_outputs
 
@@ -38,7 +40,7 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             post_nms_top_n=effective_top_n(cfg, train=False)[1],
             nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
             min_size=float(cfg.MODEL.RPN.MIN_SIZE),
-            approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
+            approx_recall=effective_approx_recall(cfg),
         )
         if getattr(model, "rpn_only", False):
             # MODEL.RPN_ONLY: the proposals ARE the result (reference

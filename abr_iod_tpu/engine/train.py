@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 from ..models import losses as L
 from ..models.anchors import anchors_for_shape, anchor_visibility
-from ..models.proposals import select_proposals, append_gt_proposals, effective_top_n
+from ..models.proposals import (
+    select_proposals, append_gt_proposals, effective_top_n, effective_approx_recall,
+)
 from ..models.rpn import flatten_rpn_outputs
 
 
@@ -96,7 +98,7 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
         post_nms_top_n=effective_top_n(cfg, train=True)[1],
         nms_thresh=float(cfg.MODEL.RPN.NMS_THRESH),
         min_size=float(cfg.MODEL.RPN.MIN_SIZE),
-        approx_recall=float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", 0.0)),
+        approx_recall=effective_approx_recall(cfg),
     )
     props = append_gt_proposals(props, batch.gt_boxes, batch.gt_mask)
 

@@ -23,29 +23,58 @@ from ..structures import boxes as B
 from ..ops.nms import nms_padded
 
 
+# TPU.FAST_PROPOSALS caps (the round-2 defaults, now opt-in): measured
+# +13% train throughput over exact reference statistics (BASELINE.md),
+# unmeasurable mAP effect — hence parity is the default.
+FAST_PRE_NMS_CAP = 2048
+FAST_POST_NMS_CAP = 512
+FAST_APPROX_RECALL = 0.98
+
+
+def _cap(cfg, kind: str, mode: str, ref_value: int) -> int:
+    """Resolve a TPU.{kind}_NMS_TOP_N_{mode} cap; -1 = auto (no cap, or the
+    fast cap when TPU.FAST_PROPOSALS is on)."""
+    cap = int(cfg.TPU[f"{kind}_NMS_TOP_N_{mode}"])
+    if cap < 0:
+        if bool(cfg.TPU.get("FAST_PROPOSALS", False)):
+            return FAST_PRE_NMS_CAP if kind == "PRE" else FAST_POST_NMS_CAP
+        return ref_value
+    return cap
+
+
+def effective_approx_recall(cfg) -> float:
+    """Pre-NMS approx_max_k recall target; -1 = auto (exact top-k, or 0.98
+    under TPU.FAST_PROPOSALS).  0 disables the approximate path."""
+    r = float(cfg.TPU.get("APPROX_PRE_NMS_RECALL", -1.0))
+    if r < 0:
+        return FAST_APPROX_RECALL if bool(cfg.TPU.get("FAST_PROPOSALS", False)) else 0.0
+    return r
+
+
 def effective_top_n(cfg, train: bool):
     """Effective (pre_nms, post_nms) proposal counts.
 
     The recipe values live in MODEL.RPN.{PRE,POST}_NMS_TOP_N_* (reference
-    rpn/inference.py:150-163); TPU.{PRE,POST}_NMS_TOP_N_* act as static-shape
-    compile caps.  The smaller wins, and a capped recipe is logged loudly —
-    it changes proposal statistics vs the published configuration (raise the
-    TPU caps to restore exact parity at a compile/throughput cost; the
-    measured mAP-proxy delta is recorded in BASELINE.md).
+    rpn/inference.py:150-163) and are honored exactly by default.
+    TPU.{PRE,POST}_NMS_TOP_N_* act as static-shape compile caps when set
+    (or implicitly under TPU.FAST_PROPOSALS).  The smaller wins, and a
+    capped recipe is logged loudly — it changes proposal statistics vs the
+    published configuration (the measured throughput/mAP-proxy tradeoff is
+    recorded in BASELINE.md).
     """
     import logging
 
     mode = "TRAIN" if train else "TEST"
     pre_ref = int(cfg.MODEL.RPN[f"PRE_NMS_TOP_N_{mode}"])
     post_ref = int(cfg.MODEL.RPN[f"POST_NMS_TOP_N_{mode}"])
-    pre_cap = int(cfg.TPU[f"PRE_NMS_TOP_N_{mode}"])
-    post_cap = int(cfg.TPU[f"POST_NMS_TOP_N_{mode}"])
-    pre, post = min(pre_ref, pre_cap), min(post_ref, post_cap)
+    pre = min(pre_ref, _cap(cfg, "PRE", mode, pre_ref))
+    post = min(post_ref, _cap(cfg, "POST", mode, post_ref))
     if (pre, post) != (pre_ref, post_ref):
         logging.getLogger("abr_iod_tpu").warning(
             f"RPN {mode} top-N capped for static shapes: pre {pre_ref}->{pre}, "
-            f"post {post_ref}->{post} (raise cfg.TPU.*_NMS_TOP_N_{mode} for "
-            "exact reference proposal statistics)"
+            f"post {post_ref}->{post} (disable TPU.FAST_PROPOSALS / raise "
+            f"cfg.TPU.*_NMS_TOP_N_{mode} for exact reference proposal "
+            "statistics)"
         )
     return pre, post
 

@@ -90,6 +90,12 @@ def main():
         cfg.TPU.ROI_CHUNK = int(os.environ["BENCH_ROI_CHUNK"])
     if os.environ.get("BENCH_SCAN") == "1":
         cfg.TPU.SCAN_BLOCKS = True
+    # default statistics = exact reference recipe (12000/2000 pre/post,
+    # exact top-k).  BENCH_FAST=1 opts into the capped TPU.FAST_PROPOSALS
+    # mode (2048/512 + approx pre-NMS top-k) — measured tradeoff in
+    # BASELINE.md.
+    if os.environ.get("BENCH_FAST") == "1":
+        cfg.TPU.FAST_PROPOSALS = True
     if os.environ.get("BENCH_APPROX_RECALL") is not None:
         cfg.TPU.APPROX_PRE_NMS_RECALL = float(os.environ["BENCH_APPROX_RECALL"])
     if os.environ.get("BENCH_PRE_NMS"):
