@@ -10,6 +10,7 @@ and the ``output/{task}.txt`` per-class-AP ledger.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Optional
@@ -177,8 +178,18 @@ def _mesh_from_cfg(cfg, batch_size: Optional[int] = None):
         n_data = max(len(jax.devices()) // n_model, 1)
         if batch_size is not None and batch_size % n_data != 0:
             # batch must divide over the data axis; fall back to the
-            # largest compatible mesh rather than crashing
-            n_data = math.gcd(batch_size, n_data)
+            # largest compatible mesh rather than crashing — but say so
+            # LOUDLY: a 7-image batch on 8 devices would otherwise run
+            # 1-wide data parallelism in silence
+            shrunk = math.gcd(batch_size, n_data)
+            logging.getLogger("abr_iod_tpu").warning(
+                f"SOLVER.IMS_PER_BATCH={batch_size} does not divide the "
+                f"{n_data}-device data axis; shrinking the mesh to "
+                f"{shrunk}-wide data parallelism ({n_data - shrunk} device(s) "
+                "idle). Pick a batch size divisible by the device count, or "
+                "set TPU.MESH_DATA explicitly."
+            )
+            n_data = shrunk
     return make_mesh(n_data, n_model)
 
 

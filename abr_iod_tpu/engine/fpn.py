@@ -120,6 +120,13 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
         anchors=anchors, gt_boxes=batch.gt_boxes,
     )
 
+    if getattr(model, "rpn_only", False):
+        # MODEL.RPN_ONLY: the RPN losses are the whole objective (same
+        # contract as the C4 path, reference generalized_rcnn.py:107-119)
+        total = obj_loss + rpn_box_loss
+        return total, {"loss_objectness": obj_loss,
+                       "loss_rpn_box_reg": rpn_box_loss, "loss": total}
+
     pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, batch.sizes, cfg, True)
     from ..models.proposals import Proposals
 
@@ -213,6 +220,11 @@ def make_fpn_eval_step(model, cfg, canvas_hw):
         rpn_outs = model.apply(params, pyramid, method="rpn")
         anchors_l = fpn_level_anchors(cfg, [p.shape for p in pyramid])
         pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, False)
+        if getattr(model, "rpn_only", False):
+            # proposals ARE the result (same contract as the C4 eval step)
+            from ..models.postprocess import Detections
+
+            return Detections(pb, ps, jnp.zeros(ps.shape, jnp.int32), pv)
         cls_logits, box_reg, _, _ = model.apply(
             params, pyramid, pb, method="roi_heads"
         )

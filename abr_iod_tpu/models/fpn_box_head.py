@@ -35,6 +35,9 @@ class FPNBoxHead(nn.Module):
     num_stacked_convs: int = 4
     dilation: int = 1
     gn: tuple = (32, -1, 1e-5)  # MODEL.GROUP_NORM.*
+    # MODEL.CLS_AGNOSTIC_BBOX_REG (reference roi_box_predictors.py
+    # FPNPredictor: num_bbox_reg_classes = 2 when set)
+    cls_agnostic_bbox_reg: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
@@ -81,10 +84,18 @@ class FPNBoxHead(nn.Module):
             self.num_classes, kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype, name="cls_score",
         )(x)
+        n_reg = 2 if self.cls_agnostic_bbox_reg else self.num_classes
         box_reg = nn.Dense(
-            self.num_classes * 4, kernel_init=nn.initializers.normal(0.001),
+            n_reg * 4, kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype, name="bbox_pred",
         )(x)
+        if self.cls_agnostic_bbox_reg:
+            # fg deltas broadcast over classes (same expansion as the C4
+            # box head; reference box_head/inference.py slices [-4:])
+            fg = box_reg.reshape(b * s, 2, 4)[:, 1]
+            box_reg = jnp.tile(fg[:, None, :], (1, self.num_classes, 1)).reshape(
+                b * s, self.num_classes * 4
+            )
         return (
             cls_logits.reshape(b, s, -1).astype(jnp.float32),
             box_reg.reshape(b, s, -1).astype(jnp.float32),

@@ -53,7 +53,12 @@ class FasterRCNNFPN(nn.Module):
     pooler_resolution: int = 7
     pooler_sampling_ratio: int = 2
     mask_pooler_resolution: int = 14
+    mask_pooler_sampling_ratio: int = 2
+    keypoint_pooler_resolution: int = 14
+    keypoint_pooler_sampling_ratio: int = 2
     mask_conv_layers: tuple = (256, 256, 256, 256)
+    cls_agnostic_bbox_reg: bool = False  # MODEL.CLS_AGNOSTIC_BBOX_REG
+    rpn_only: bool = False  # MODEL.RPN_ONLY (engine/fpn.py dispatch)
     extractor: str = "FPN2MLPFeatureExtractor"
     use_gn: bool = False
     conv_head_dim: int = 256
@@ -113,6 +118,7 @@ class FasterRCNNFPN(nn.Module):
             num_stacked_convs=self.num_stacked_convs,
             dilation=self.xconv_dilation,
             gn=self.gn,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             name="roi_heads",
         )
         if self.mask_on:
@@ -155,7 +161,7 @@ class FasterRCNNFPN(nn.Module):
             lambda fs, r: fpn_roi_align(
                 fs, r, output_size=self.mask_pooler_resolution,
                 scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
-                sampling_ratio=self.pooler_sampling_ratio,
+                sampling_ratio=self.mask_pooler_sampling_ratio,
             ),
             in_axes=(0, 0),
         )(list(pyramid)[:4], rois)
@@ -171,9 +177,9 @@ class FasterRCNNFPN(nn.Module):
         b, s = rois.shape[:2]
         pool = jax.vmap(
             lambda fs, r: fpn_roi_align(
-                fs, r, output_size=self.mask_pooler_resolution,
+                fs, r, output_size=self.keypoint_pooler_resolution,
                 scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
-                sampling_ratio=self.pooler_sampling_ratio,
+                sampling_ratio=self.keypoint_pooler_sampling_ratio,
             ),
             in_axes=(0, 0),
         )(list(pyramid)[:4], rois)
@@ -214,6 +220,22 @@ def build_fpn_detector(cfg):
     )
     bh = cfg.MODEL.ROI_BOX_HEAD
     dtype = _DTYPES[str(cfg.TPU.COMPUTE_DTYPE)]
+    box_ratio = int(bh.POOLER_SAMPLING_RATIO)
+    if box_ratio <= 0:
+        # same contract as the C4 builder (build.py): adaptive sampling
+        # (ratio=0) is data-dependent and incompatible with static TPU
+        # shapes — fail loudly instead of silently substituting a grid
+        raise ValueError(
+            "POOLER_SAMPLING_RATIO=0 (adaptive) is unsupported for the FPN "
+            "box head; set an explicit ratio (the reference recipe uses 2)"
+        )
+
+    def _aux_ratio(v: int) -> int:
+        # mask/keypoint poolers default to 0 (adaptive) in the reference
+        # config; substitute the documented fixed 2x2 grid (DESIGN.md #5)
+        # for 0 but honor any explicit ratio >= 1
+        return int(v) if int(v) >= 1 else 2
+
     return FasterRCNNFPN(
         num_classes=int(bh.NUM_CLASSES),
         num_anchors=len(tuple(cfg.MODEL.RPN.ASPECT_RATIOS)),
@@ -228,8 +250,16 @@ def build_fpn_detector(cfg):
         fpn_out_channels=int(cfg.MODEL.RESNETS.get("BACKBONE_OUT_CHANNELS", 256)),
         representation_size=int(bh.MLP_HEAD_DIM),
         pooler_resolution=int(bh.POOLER_RESOLUTION),
-        pooler_sampling_ratio=max(int(bh.POOLER_SAMPLING_RATIO), 2),
+        pooler_sampling_ratio=box_ratio,
         mask_pooler_resolution=int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION),
+        mask_pooler_sampling_ratio=_aux_ratio(
+            cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO),
+        keypoint_pooler_resolution=int(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION),
+        keypoint_pooler_sampling_ratio=_aux_ratio(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO),
+        cls_agnostic_bbox_reg=bool(cfg.MODEL.CLS_AGNOSTIC_BBOX_REG),
+        rpn_only=bool(cfg.MODEL.RPN_ONLY),
         mask_conv_layers=tuple(cfg.MODEL.ROI_MASK_HEAD.CONV_LAYERS),
         extractor=str(bh.FEATURE_EXTRACTOR)
         if str(bh.FEATURE_EXTRACTOR).startswith("FPN")

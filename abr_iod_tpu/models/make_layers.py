@@ -11,15 +11,31 @@ import jax.numpy as jnp
 
 def gn_num_groups(features: int, num_groups: int = 32, dim_per_gp: int = -1) -> int:
     """Group count per the reference rule (make_layers.py get_group_gn:
-    DIM_PER_GP > 0 wins, else NUM_GROUPS), degraded to the largest
-    divisor so tiny test channel counts don't crash."""
+    DIM_PER_GP > 0 wins, else NUM_GROUPS).
+
+    The reference asserts divisibility (``dim % dim_per_gp == 0`` /
+    ``dim % num_groups == 0``); so do we for realistic channel counts —
+    a misconfigured model must fail, not silently train with different
+    groups.  Only the tiny-channel test regime (features < the requested
+    group count, impossible under the reference's assert too) degrades to
+    the largest divisor so shrunken unit-test models still build."""
     import math
 
     if dim_per_gp > 0:
-        target = max(features // dim_per_gp, 1)
-    else:
-        target = num_groups
-    return math.gcd(target, features)
+        if features % dim_per_gp != 0:
+            raise ValueError(
+                f"GROUP_NORM.DIM_PER_GP={dim_per_gp} does not divide "
+                f"{features} channels (reference make_layers.py asserts this)"
+            )
+        return features // dim_per_gp
+    if features < num_groups:
+        return math.gcd(num_groups, features)
+    if features % num_groups != 0:
+        raise ValueError(
+            f"GROUP_NORM.NUM_GROUPS={num_groups} does not divide "
+            f"{features} channels (reference make_layers.py asserts this)"
+        )
+    return num_groups
 
 
 def group_norm(features: int | None = None, num_groups: int = 32,

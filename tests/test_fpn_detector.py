@@ -249,3 +249,82 @@ def test_fpn_keypoint_variant_trains_and_evals():
     dets, kp_out = eval_step(params, px, jnp.asarray([list(CANVAS)], jnp.int32))
     assert kp_out.shape[2:] == (17, 3)
     assert np.isfinite(np.asarray(kp_out)).all()
+
+
+def test_fpn_rpn_only_and_cls_agnostic():
+    """MODEL.RPN_ONLY and MODEL.CLS_AGNOSTIC_BBOX_REG must take effect on
+    the FPN family like they do on C4 (round-2 advisor finding: they were
+    silently ignored)."""
+    from abr_iod_tpu.engine.fpn import fpn_forward_detection_losses
+
+    # cls-agnostic: bbox_pred carries 2 classes' deltas (bg + fg)
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    model = build_detection_model(cfg)
+    assert model.cls_agnostic_bbox_reg
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
+    kernel = params["params"]["roi_heads"]["bbox_pred"]["kernel"]
+    assert kernel.shape[-1] == 2 * 4  # not num_classes*4
+    out = model.apply(params, px, rois)
+    assert out["box_reg"].shape == (1, 1, 4 * 4)  # expanded per class
+
+    # rpn-only: losses are RPN-only; eval returns bare proposals
+    cfg2 = tiny_fpn_cfg()
+    cfg2.MODEL.RPN_ONLY = True
+    model2 = build_detection_model(cfg2)
+    assert model2.rpn_only
+    params2 = jax.jit(model2.init)(jax.random.PRNGKey(0), px, rois)
+    rng = np.random.RandomState(3)
+    total, metrics = fpn_forward_detection_losses(
+        model2, params2, synth_batch(rng, b=1), jax.random.PRNGKey(0), cfg2
+    )
+    assert set(metrics) == {"loss_objectness", "loss_rpn_box_reg", "loss"}
+    eval_step, _ = make_eval_step(model2, cfg2, CANVAS)
+    dets = eval_step(params2, px, jnp.asarray([list(CANVAS)], jnp.int32))
+    assert np.asarray(dets.labels).max() == 0  # objectness has no class
+
+
+def test_fpn_keypoint_pooler_resolution_honored():
+    """ROI_KEYPOINT_HEAD.POOLER_RESOLUTION must drive the keypoint pool
+    (round-2 advisor finding: it silently used the mask resolution)."""
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = (8,)
+    cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 10
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    model = build_detection_model(cfg)
+    assert model.keypoint_pooler_resolution == 10
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), px, rois)
+    out = model.apply(params, px, rois)
+    # 10x10 pool -> 4x upsample (deconv + interp) -> 40x40 heatmaps;
+    # the mask resolution (14 -> 56) must NOT leak in
+    assert out["keypoint_logits"].shape[2:4] == (40, 40)
+
+
+def test_fpn_adaptive_box_sampling_ratio_rejected():
+    """POOLER_SAMPLING_RATIO=0 (adaptive) must fail loudly on the FPN box
+    head like it does on C4, and an explicit 1 must be honored (round-2
+    advisor finding: both were silently clamped to 2)."""
+    cfg = tiny_fpn_cfg()
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    with pytest.raises(ValueError, match="SAMPLING_RATIO"):
+        build_detection_model(cfg)
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 1
+    assert build_detection_model(cfg).pooler_sampling_ratio == 1
+
+
+def test_gn_non_divisible_realistic_config_rejected():
+    """Non-divisible GN group configs raise like the reference's assert
+    (round-2 advisor finding: gcd degraded them silently); the tiny-channel
+    test fallback stays."""
+    from abr_iod_tpu.models.make_layers import gn_num_groups
+
+    with pytest.raises(ValueError, match="NUM_GROUPS"):
+        gn_num_groups(96, num_groups=36)
+    with pytest.raises(ValueError, match="DIM_PER_GP"):
+        gn_num_groups(64, num_groups=32, dim_per_gp=6)
+    assert gn_num_groups(16, num_groups=32) == 16  # tiny-channel fallback
