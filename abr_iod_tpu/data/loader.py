@@ -131,7 +131,7 @@ class DetectionLoader:
                 if skip > 0:
                     skip -= 1
                     continue
-                yield batch[self.shard_index :: self.num_shards]
+                yield self._shard_slice(batch)
         # finite (eval) stream: flush remainders, padded to the global batch
         # size by repeating the last index so every shard sees an equal count
         for batch in buckets.values():
@@ -140,7 +140,16 @@ class DetectionLoader:
             self._last_flush_real = len(batch)
             while len(batch) < gbs:
                 batch.append(batch[-1])
-            yield batch[self.shard_index :: self.num_shards]
+            yield self._shard_slice(batch)
+
+    def _shard_slice(self, batch: List[int]) -> List[int]:
+        """This process's CONTIGUOUS block of the global batch —
+        make_array_from_process_local_data concatenates per-process data
+        in process order, so block slicing makes the assembled global
+        array identical to the single-process batch
+        (tests/test_multiprocess.py pins this)."""
+        return batch[self.shard_index * self.batch_size:
+                     (self.shard_index + 1) * self.batch_size]
 
     # ---------------------------------------------------------- loading
     def _load_one(self, index: int, rng: np.random.RandomState):
@@ -201,12 +210,24 @@ class DetectionLoader:
             out[i] = resized
         return out
 
+    def _item_rng(self, it: int, local_pos: int) -> np.random.RandomState:
+        """Augmentation RNG as a pure function of (seed, iteration, GLOBAL
+        batch position).  A shared sequential RNG would consume differently
+        per process topology; keyed streams make the assembled global batch
+        identical to a single-process run (test_multiprocess pins this)."""
+        gpos = self.shard_index * self.batch_size + local_pos
+        mixed = (
+            self.seed * 2654435761 + (self.start_iter + it) * 1000003
+            + gpos * 97 + 7
+        ) % (2 ** 32)
+        return np.random.RandomState(mixed)
+
     def batches(self, max_batches: Optional[int] = None) -> Iterator[Batch]:
         """Yield Batch pytrees (numpy); records side-channel not included."""
-        rng = np.random.RandomState(self.seed + 7 + self.start_iter)
         count = 0
-        for idxs in self._index_batches():
-            loaded = [self._load_one(i, rng) for i in idxs]
+        for it, idxs in enumerate(self._index_batches()):
+            loaded = [self._load_one(i, self._item_rng(it, p))
+                      for p, i in enumerate(idxs)]
             pixels, sizes, boxes, labels, masks = map(
                 np.stack, zip(*[l[:5] for l in loaded])
             )
@@ -250,11 +271,11 @@ class DetectionLoader:
         orig_sizes, gt_boxes, gt_labels, gt_mask) with NO normalization —
         on-device fusion blends raw pixels first (see abr_fusion)."""
         assert not self.normalize, "construct with normalize=False for raw batches"
-        rng = np.random.RandomState(self.seed + 7 + self.start_iter)
-        for idxs in self._index_batches():
+        for it, idxs in enumerate(self._index_batches()):
             items = []
-            for idx in idxs:
-                canvas, size_hw, pb, pl, pm, rec, _ = self._load_one(idx, rng)
+            for p, idx in enumerate(idxs):
+                canvas, size_hw, pb, pl, pm, rec, _ = self._load_one(
+                    idx, self._item_rng(it, p))
                 orig = np.array([rec["height"], rec["width"]], np.int32)
                 items.append((canvas, size_hw, orig, pb, pl, pm))
             yield tuple(map(np.stack, zip(*items)))
@@ -268,14 +289,15 @@ class DetectionLoader:
         gbs = self.batch_size * self.num_shards
         self._last_flush_real = gbs
         for idxs in self._index_batches():
-            # real items are a prefix: padding repeats the trailing index,
-            # and round-robin sharding preserves prefix order per shard
+            # real items are a prefix of the GLOBAL batch (padding repeats
+            # the trailing index); with contiguous block sharding this
+            # shard's real count is its overlap with that prefix
             real_global = self._last_flush_real
             self._last_flush_real = gbs
-            n_valid = sum(
-                1 for p in range(self.shard_index, gbs, self.num_shards)
-                if p < real_global
-            )
+            n_valid = int(np.clip(
+                real_global - self.shard_index * self.batch_size,
+                0, self.batch_size,
+            ))
             loaded = [self._load_one(i, rng) for i in idxs]
             pixels, sizes, boxes, labels, masks = map(
                 np.stack, zip(*[l[:5] for l in loaded])

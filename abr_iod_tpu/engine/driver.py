@@ -618,8 +618,11 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     logger.info("per-class AP: " + ", ".join(f"{k}={v:.3f}" for k, v in per_class.items()))
 
     # per-eval result file (reference voc_eval.py:52-55 writes result.txt
-    # with the mAP summary + the raw AP vector into the output folder)
-    if cfg.OUTPUT_DIR:
+    # with the mAP summary + the raw AP vector into the output folder);
+    # multi-process: every rank holds the gathered result but only rank 0
+    # writes files (the reference evals on rank 0 only,
+    # tools/train_incremental.py:253-254)
+    if cfg.OUTPUT_DIR and comm.is_main_process():
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         with open(os.path.join(cfg.OUTPUT_DIR, "result.txt"), "w") as fid:
             fid.write(f"mAP: {result['map']:.4f}\n")
@@ -637,7 +640,7 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         )
 
     task = cfg.get("TASK", None)
-    if task:
+    if task and comm.is_main_process():
         os.makedirs("output", exist_ok=True)
         with open(os.path.join("output", f"{task}.txt"), "a") as fid:
             fid.write(str(cfg.get("NAME", "EXP")))

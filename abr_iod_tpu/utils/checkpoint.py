@@ -44,7 +44,15 @@ class Checkpointer:
 
     def save(self, name: str, state: Any, trim: bool = False, **extra) -> str:
         """state: dict with at least 'params'; trim=True stores params only
-        (reference utils/checkpoint.py:32-52)."""
+        (reference utils/checkpoint.py:32-52).
+
+        Multi-process: only process 0 touches disk (the reference's
+        ``save_to_disk = get_rank() == 0``, utils/checkpoint.py:13-30);
+        all processes return the would-be path."""
+        from . import comm
+
+        if not comm.is_main_process():
+            return self._path(name)
         payload = {"params": state["params"]}
         if not trim:
             for k, v in state.items():

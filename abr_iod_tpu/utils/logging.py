@@ -88,9 +88,16 @@ class ScalarWriter:
     """JSONL scalar stream + optional tensorboardX mirror."""
 
     def __init__(self, log_dir: str):
+        # rank-0 only, like the reference's SummaryWriter usage
+        # (tools/train_incremental.py:209 creates it on the main process)
+        from . import comm
+
+        self._f = None
+        self._tb = None
+        if not comm.is_main_process():
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self._tb = None
         try:
             from tensorboardX import SummaryWriter  # type: ignore
 
@@ -99,6 +106,8 @@ class ScalarWriter:
             pass
 
     def add_scalar(self, tag: str, value, step: int):
+        if self._f is None:
+            return
         self._f.write(
             json.dumps({"tag": tag, "value": float(value), "step": int(step),
                         "time": time.time()})
@@ -109,6 +118,7 @@ class ScalarWriter:
             self._tb.add_scalar(tag, float(value), step)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()

@@ -22,3 +22,27 @@ def respect_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", want)
     except Exception:
         pass
+
+
+def maybe_init_distributed() -> None:
+    """Multi-process launch hook — the reference's
+    ``torch.distributed.launch`` + ``init_process_group(nccl)`` analogue
+    (tools/train_first_step.py:198-200).  tools/launch.py sets these env
+    vars when spawning one process per slice; single-process runs leave
+    them unset and this is a no-op.  On TPU pods with a cluster
+    environment, plain ``jax.distributed.initialize()`` (no args,
+    auto-detected) can be requested with ABR_IOD_DISTRIBUTED=auto."""
+    mode = os.environ.get("ABR_IOD_DISTRIBUTED", "")
+    coord = os.environ.get("ABR_IOD_COORDINATOR", "")
+    if not coord and mode != "auto":
+        return
+    import jax
+
+    if mode == "auto" and not coord:
+        jax.distributed.initialize()
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["ABR_IOD_NUM_PROCESSES"]),
+        process_id=int(os.environ["ABR_IOD_PROCESS_ID"]),
+    )

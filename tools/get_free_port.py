@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Free-TCP-port helper (reference: tools/get_free_port.py).
 
-The reference needed this for torch.distributed.launch rendezvous; the
-TPU build is single-process SPMD so nothing consumes it, but it is kept
-for script compatibility (scripts/run_*.sh call it)."""
+The reference needed this for torch.distributed.launch rendezvous;
+here tools/launch.py uses it for the jax.distributed coordinator port,
+and scripts/run_*.sh call it for script compatibility."""
 
 import socket
 
