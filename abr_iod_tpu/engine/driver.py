@@ -584,8 +584,11 @@ def run_test(cfg, params=None, logger=None, max_images=None):
 
         coco = eval_detection_coco(predictions, ground_truths)
         logger.info(
-            f"COCO eval: AP={coco['AP']:.4f} AP50={coco['AP50']:.4f} "
-            f"AP75={coco['AP75']:.4f}"
+            "COCO eval: " + "  ".join(
+                f"{k}={coco[k]:.4f}" for k in
+                ("AP", "AP50", "AP75", "APs", "APm", "APl",
+                 "AR1", "AR10", "AR100", "ARs", "ARm", "ARl")
+            )
         )
         # keep the VOC-shaped surface for the ledger/gate: map = AP50
         # (the reference's VOC-protocol comparable number); full COCO
