@@ -147,9 +147,14 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
     if batch.gt_mask_crops is not None and getattr(model, "mask_on", False):
         from ..models.mask_head import mask_rcnn_loss_from_crops
 
-        mask_logits = model.apply(
-            params, roi_feats, method="mask_from_roi_features"
-        )  # [B, S, 2P, 2P, C]
+        if hasattr(model, "mask_from_roi_features"):
+            mask_logits = model.apply(
+                params, roi_feats, method="mask_from_roi_features"
+            )  # [B, S, 2P, 2P, C]
+        else:
+            # non-shared mask extractor (FBNet: its own pool + 'mask'
+            # blocks, reference fbnet.py:240-248)
+            mask_logits = model.apply(params, features, rois, method="mask_heads")
         loss_mask = mask_rcnn_loss_from_crops(
             mask_logits, rois, rlabels, rvalid & rpos,
             batch.gt_mask_crops, batch.gt_boxes, rmatched,

@@ -319,6 +319,56 @@ MODEL_ARCH = {
             "bbox": [4],
         },
     },
+    # ChamNet architectures (reference fbnet_modeldef.py:139-216 —
+    # experiment constants reproduced in the reference's table format)
+    "cham_v1a": {
+        "block_op_type": [
+            ["ir_k3"],
+            ["ir_k7"] * 2,
+            ["ir_k3"] * 5,
+            ["ir_k5"] * 7 + ["ir_k3"] * 5,
+            ["ir_k3"] * 5,  # bbox head
+            ["ir_k3"] * 3,  # rpn
+        ],
+        "block_cfg": {
+            "first": [32, 2],
+            "stages": [
+                [[1, 24, 1, 1]],
+                [[4, 48, 2, 2]],
+                [[7, 64, 5, 2]],
+                [[12, 56, 7, 2], [8, 88, 5, 1]],
+                [[7, 152, 4, 2], [10, 104, 1, 1]],
+                [[8, 88, 3, 1]],
+            ],
+            "backbone": [0, 1, 2, 3],
+            "rpn": [5],
+            "bbox": [4],
+        },
+    },
+    "cham_v2": {
+        "block_op_type": [
+            ["ir_k3"],
+            ["ir_k5"] * 4,
+            ["ir_k7"] * 6,
+            ["ir_k5"] * 3 + ["ir_k3"] * 6,
+            ["ir_k3"] * 7,  # bbox head
+            ["ir_k3"] * 1,  # rpn
+        ],
+        "block_cfg": {
+            "first": [32, 2],
+            "stages": [
+                [[1, 24, 1, 1]],
+                [[8, 32, 4, 2]],
+                [[5, 48, 6, 2]],
+                [[9, 56, 3, 2], [6, 56, 6, 1]],
+                [[2, 160, 6, 2], [6, 112, 1, 1]],
+                [[6, 56, 1, 1]],
+            ],
+            "backbone": [0, 1, 2, 3],
+            "rpn": [5],
+            "bbox": [4],
+        },
+    },
     # op-diversity arch exercising the wider primitive set
     "chamnet_like": {
         "block_op_type": [
@@ -517,6 +567,54 @@ class FBNetRoIBoxHead(nn.Module):
         )
 
 
+class FBNetRoIMaskHead(nn.Module):
+    """RoIAlign → the arch's 'mask' stage blocks → deconv mask predictor
+    (reference fbnet.py:240-248 FBNet.roi_head_mask: an FBNetROIHead
+    registered as the mask feature extractor, feeding the standard
+    MaskRCNN predictor)."""
+
+    num_classes: int
+    arch: str = "default"
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16
+    pooler_sampling_ratio: int = 0
+    scale: float = 1.0
+    predictor_name: str = "MaskRCNNC4Predictor"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, rois, train: bool = False):
+        import jax
+
+        from ..ops.roi_align import roi_align
+        from .mask_head import MaskRCNNC4Predictor, MaskRCNNConv1x1Predictor
+
+        stage = arch_stage_blocks(self.arch, "mask")
+        if not stage:
+            raise ValueError(
+                f"FBNet arch {self.arch!r} defines no 'mask' stage group "
+                "(reference fbnet_modeldef.py: only mask-enabled archs do)"
+            )
+        b, s = rois.shape[:2]
+        pool = jax.vmap(
+            lambda f, r: roi_align(
+                f, r, output_size=self.pooler_resolution,
+                spatial_scale=self.pooler_scale,
+                sampling_ratio=max(self.pooler_sampling_ratio, 1),
+            )
+        )(features, rois)
+        x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
+        specs = [sp for st in stage for sp in st]
+        x = _BlockSeq(tuple(specs), self.scale, dtype=self.dtype,
+                      name="tower")(x, train=train)
+        preds = {"MaskRCNNC4Predictor": MaskRCNNC4Predictor,
+                 "MaskRCNNConv1x1Predictor": MaskRCNNConv1x1Predictor}
+        logits = preds[self.predictor_name](
+            num_classes=self.num_classes, dtype=self.dtype, name="predictor"
+        )(x)
+        return logits.reshape((b, s) + logits.shape[1:])
+
+
 class FBNetFasterRCNN(nn.Module):
     """FBNet trunk + FBNet RPN + FBNet RoI box head with the same apply
     surface as models.detector.FasterRCNN (backbone/rpn/roi_heads), so
@@ -528,6 +626,9 @@ class FBNetFasterRCNN(nn.Module):
     arch: str = "default"
     num_anchors: int = 15
     scale: float = 1.0
+    mask_on: bool = False
+    mask_pooler_resolution: int = 14
+    mask_predictor_name: str = "MaskRCNNC4Predictor"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -540,6 +641,13 @@ class FBNetFasterRCNN(nn.Module):
         self.box_head = FBNetRoIBoxHead(num_classes=self.num_classes,
                                         arch=self.arch, scale=self.scale,
                                         dtype=self.dtype, name="roi_heads")
+        if self.mask_on:
+            self.mask_head = FBNetRoIMaskHead(
+                num_classes=self.num_classes, arch=self.arch,
+                pooler_resolution=self.mask_pooler_resolution,
+                scale=self.scale, predictor_name=self.mask_predictor_name,
+                dtype=self.dtype, name="mask_heads_mod",
+            )
 
     def backbone(self, pixels):
         c, stage_outputs = self.trunk(pixels)
@@ -551,10 +659,20 @@ class FBNetFasterRCNN(nn.Module):
     def roi_heads(self, features, rois, rois_valid=None):
         return self.box_head(features, rois, rois_valid)
 
+    def mask_heads(self, features, rois):
+        """FBNet mask branch: its own pool + 'mask' blocks + predictor
+        (the reference's non-shared mask feature extractor)."""
+        if not self.mask_on:
+            raise ValueError("model built without mask_on")
+        return self.mask_head(features, rois)
+
     def __call__(self, pixels, rois):
         features, _ = self.backbone(pixels)
         objectness, box_deltas = self.rpn(features)
-        return self.roi_heads(features, rois)
+        out = self.roi_heads(features, rois)
+        if self.mask_on:
+            return out + (self.mask_heads(features, rois),)
+        return out
 
 
 def build_fbnet_detector(cfg):
@@ -569,4 +687,8 @@ def build_fbnet_detector(cfg):
         arch=str(fb.ARCH),
         num_anchors=num_anchors,
         scale=float(fb.SCALE_FACTOR),
+        mask_on=bool(cfg.MODEL.MASK_ON),
+        mask_pooler_resolution=int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION),
+        mask_predictor_name=str(cfg.MODEL.ROI_MASK_HEAD.get(
+            "PREDICTOR", "MaskRCNNC4Predictor")),
     )

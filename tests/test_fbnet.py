@@ -109,3 +109,93 @@ def test_fbnet_detector_trains_one_step(rng):
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@__import__('pytest').mark.slow
+def test_fbnet_cham_archs_build_and_run(rng):
+    """cham_v1a / cham_v2 tables (reference fbnet_modeldef.py:139-216):
+    trunk + rpn + bbox groups all expand and run."""
+    from abr_iod_tpu.models.fbnet import MODEL_ARCH, FBNetFasterRCNN
+
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    rois = jnp.zeros((1, 2, 4)) + 16.0
+    for arch in ("cham_v1a", "cham_v2"):
+        assert arch in MODEL_ARCH
+        model = FBNetFasterRCNN(num_classes=3, arch=arch, num_anchors=3,
+                                scale=0.25)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, rois)
+        cls_logits, box_reg, _, _ = model.apply(params, x, rois)
+        assert cls_logits.shape == (1, 2, 3)
+        assert np.isfinite(np.asarray(cls_logits)).all()
+
+
+@__import__('pytest').mark.slow
+def test_fbnet_mask_head_trains(rng):
+    """MODEL.MASK_ON with CONV_BODY FBNet builds the arch's 'mask' stage
+    head (reference fbnet.py:240-248 FBNet.roi_head_mask) and the train
+    step produces a finite mask loss."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.engine import Batch, TrainState, make_train_step
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.solver.optim import make_optimizer
+
+    cfg = get_default_config()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = "default"  # has a 'mask' stage group
+    cfg.MODEL.FBNET.SCALE_FACTOR = 0.25
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TPU.PRE_NMS_TOP_N_TRAIN = 64
+    cfg.TPU.POST_NMS_TOP_N_TRAIN = 32
+    cfg.TPU.MAX_GT = 8
+    cfg.TPU.MASK_CROP_SIZE = 14
+    canvas = (64, 96)
+
+    model = build_detection_model(cfg)
+    assert model.mask_on
+    pixels = jnp.asarray(rng.randn(1, *canvas, 3).astype(np.float32))
+    rois = jnp.zeros((1, 4, 4)) + 16.0
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, rois)
+    # init exposes the mask branch
+    out = model.apply(params, pixels, rois)
+    assert out[-1].shape[:2] == (1, 4) and out[-1].shape[-1] == 4
+
+    tx = make_optimizer(cfg, params)
+    gt_boxes = np.zeros((1, 8, 4), np.float32)
+    gt_labels = np.zeros((1, 8), np.int32)
+    gt_mask = np.zeros((1, 8), bool)
+    gt_boxes[:, 0] = [4, 4, 40, 40]
+    gt_labels[:, 0] = 1
+    gt_mask[:, 0] = True
+    crops = np.zeros((1, 8, 14, 14), np.float32)
+    crops[0, 0, 3:10, 3:10] = 1.0
+    batch = Batch(
+        pixels=pixels,
+        sizes=jnp.asarray([[canvas[0], canvas[1]]], jnp.int32),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_labels=jnp.asarray(gt_labels),
+        gt_mask=jnp.asarray(gt_mask),
+        gt_mask_crops=jnp.asarray(crops),
+    )
+    step, _ = make_train_step(model, tx, cfg, canvas)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, metrics = step(state, batch)
+    assert "loss_mask" in metrics
+    assert np.isfinite(float(metrics["loss_mask"]))
+
+
+def test_fbnet_mask_head_requires_mask_group():
+    """Archs without a 'mask' stage group reject MASK_ON loudly."""
+    import pytest as _pytest
+    from abr_iod_tpu.models.fbnet import FBNetFasterRCNN
+
+    model = FBNetFasterRCNN(num_classes=3, arch="cham_v1a", num_anchors=3,
+                            scale=0.25, mask_on=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    rois = jnp.zeros((1, 2, 4)) + 16.0
+    with _pytest.raises(ValueError, match="mask"):
+        jax.jit(model.init)(jax.random.PRNGKey(0), x, rois)
