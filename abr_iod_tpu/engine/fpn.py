@@ -90,8 +90,14 @@ def _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, train: bool):
     )
 
 
-def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
-    """FPN analogue of train.forward_detection_losses."""
+def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg,
+                                 dist_type: str = "none",
+                                 n_old_classes: int = 0):
+    """FPN analogue of train.forward_detection_losses.
+
+    Returns (total, metrics, aux); aux carries the pyramid and per-level
+    RPN outputs the incremental step's distillation consumes (the
+    reference machinery is backbone-generic, generalized_rcnn.py:121-296)."""
     k_rpn, k_roi = jax.random.split(key)
 
     pyramid, _ = model.apply(params, batch.pixels, method="backbone")
@@ -125,7 +131,8 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
         # contract as the C4 path, reference generalized_rcnn.py:107-119)
         total = obj_loss + rpn_box_loss
         return total, {"loss_objectness": obj_loss,
-                       "loss_rpn_box_reg": rpn_box_loss, "loss": total}
+                       "loss_rpn_box_reg": rpn_box_loss, "loss": total}, {
+            "pyramid": tuple(pyramid), "rpn_outs": tuple(rpn_outs)}
 
     pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, batch.sizes, cfg, True)
     from ..models.proposals import Proposals
@@ -149,7 +156,8 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
         params, pyramid, rois, method="roi_heads"
     )
     cls_loss, box_loss = L.roi_box_loss(
-        cls_logits, box_reg, rlabels, rtgts, rvalid
+        cls_logits, box_reg, rlabels, rtgts, rvalid,
+        dist_type=dist_type, n_old_classes=n_old_classes,
     )
     total = obj_loss + rpn_box_loss + cls_loss + box_loss
     metrics = {
@@ -187,14 +195,18 @@ def fpn_forward_detection_losses(model, params, batch: Batch, key, cfg):
         metrics["loss_kp"] = loss_kp
 
     metrics["loss"] = total
-    return total, metrics
+    aux = {"pyramid": tuple(pyramid), "rpn_outs": tuple(rpn_outs)}
+    return total, metrics, aux
 
 
 def make_fpn_train_step(model, tx, cfg, canvas_hw):
     """FPN analogue of train.make_train_step: one jit step."""
 
     def loss_fn(params, batch, key):
-        return fpn_forward_detection_losses(model, params, batch, key, cfg)
+        total, metrics, _ = fpn_forward_detection_losses(
+            model, params, batch, key, cfg
+        )
+        return total, metrics
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Batch):

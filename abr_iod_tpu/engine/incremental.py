@@ -100,14 +100,72 @@ def generate_soften_proposals(model, params, pixels, sizes, key, cfg, anchors) -
     )
 
 
+def generate_soften_proposals_fpn(model, params, pixels, sizes, key,
+                                  cfg) -> SoftenResult:
+    """Teacher API for an FPN backbone: per-level selection + cross-level
+    merge (the reference machinery is backbone-generic,
+    generalized_rcnn.py:121-167 + rpn/inference.py:149-176)."""
+    from .fpn import _select_fpn_proposals, fpn_level_anchors
+
+    topk = int(cfg.TPU.SOFTEN_TOPK)
+    keep = int(cfg.TPU.SOFTEN_KEEP)
+
+    pyramid, backbone_feats = model.apply(params, pixels, method="backbone")
+    rpn_outs = model.apply(params, pyramid, method="rpn")
+    anchors_l = fpn_level_anchors(cfg, [p.shape for p in pyramid])
+    pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, False)
+    # cross-level merge is objectness-sorted desc (top_k), so the first
+    # `topk` slots ARE the reference's sort-then-top-128; valid first
+    boxes_t, valid_t = pb[:, :topk], pv[:, :topk]
+
+    bsz = pixels.shape[0]
+    n_valid = jnp.sum(valid_t.astype(jnp.int32), axis=1)
+
+    def pick(k, nv_i):
+        r = jax.random.uniform(k, (topk,))
+        r = jnp.where(jnp.arange(topk) < nv_i, r, 2.0)
+        return jnp.argsort(r)[:keep]
+
+    sel = jax.vmap(pick)(jax.random.split(key, bsz), n_valid)
+    boxes = jnp.take_along_axis(boxes_t, sel[..., None], axis=1)
+    valid = jnp.take_along_axis(valid_t, sel, axis=1)
+
+    cls_logits, box_reg, roi_feats, _ = model.apply(
+        params, pyramid, boxes, method="roi_heads"
+    )
+    c_old = cls_logits.shape[-1]
+    return SoftenResult(
+        boxes=boxes,
+        valid=valid,
+        scores=cls_logits,
+        bboxes=box_reg.reshape(bsz, keep, c_old, 4),
+        roi_features=roi_feats,
+        features=tuple(pyramid),
+        backbone_features=tuple(backbone_feats),
+        rpn_objectness=tuple(o for o, _ in rpn_outs),
+        rpn_box_deltas=tuple(r for _, r in rpn_outs),
+    )
+
+
 def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
                        cfg, anchors, n_old_classes: int):
     """Student losses + distillation for one batch."""
     dist_type = str(cfg.DIST.TYPE)
-    frcnn_total, metrics, aux = forward_detection_losses(
-        model, params, batch, key, cfg, anchors,
-        dist_type=dist_type, n_old_classes=n_old_classes,
-    )
+    is_fpn = getattr(model, "is_fpn", False)
+    if is_fpn:
+        from .fpn import fpn_forward_detection_losses
+
+        frcnn_total, metrics, aux = fpn_forward_detection_losses(
+            model, params, batch, key, cfg,
+            dist_type=dist_type, n_old_classes=n_old_classes,
+        )
+        student_feats = aux["pyramid"]
+    else:
+        frcnn_total, metrics, aux = forward_detection_losses(
+            model, params, batch, key, cfg, anchors,
+            dist_type=dist_type, n_old_classes=n_old_classes,
+        )
+        student_feats = aux["features"]
 
     # student re-scores the teacher's proposals in a SEPARATE box-head
     # pass (generalized_rcnn.py:66-68).  Fusing it into the sampled-RoI
@@ -115,7 +173,7 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
     # img/s/chip — 576 breaks the MXU-friendly 512 tiling and XLA
     # pipelines the small second pass better (BASELINE.md round-2 notes).
     t_cls, t_reg, roi_feats_student, _ = model.apply(
-        params, aux["features"], teacher.boxes, method="roi_heads"
+        params, student_feats, teacher.boxes, method="roi_heads"
     )
     bsz, keep = teacher.boxes.shape[:2]
     c_new = t_cls.shape[-1]
@@ -135,9 +193,14 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
 
     feat_mode = cfg.DIST.FEAT
     if feat_mode == "std":
-        distill = distill + D.feature_distillation_loss(
-            [teacher.features], [aux["features"]]
-        )
+        if is_fpn:
+            distill = distill + D.feature_distillation_loss(
+                list(teacher.features), list(student_feats)
+            )
+        else:
+            distill = distill + D.feature_distillation_loss(
+                [teacher.features], [student_feats]
+            )
     elif feat_mode == "ard":
         p = teacher.roi_features.shape[2]
         c = teacher.roi_features.shape[-1]
@@ -149,13 +212,23 @@ def incremental_losses(model, params, teacher: SoftenResult, batch: Batch, key,
         )
 
     if bool(cfg.DIST.RPN):
-        distill = distill + D.rpn_distillation_loss(
-            teacher.rpn_objectness,
-            teacher.rpn_box_deltas,
-            aux["rpn_objectness"],
-            aux["rpn_box_deltas"],
-            bbox_threshold=0.1,
-        )
+        if is_fpn:
+            # the reference loops over the per-level RPN output lists
+            # (distillation.py:21-30); sum levels
+            for (so, sr), to, tr in zip(
+                aux["rpn_outs"], teacher.rpn_objectness, teacher.rpn_box_deltas
+            ):
+                distill = distill + D.rpn_distillation_loss(
+                    to, tr, so, sr, bbox_threshold=0.1
+                )
+        else:
+            distill = distill + D.rpn_distillation_loss(
+                teacher.rpn_objectness,
+                teacher.rpn_box_deltas,
+                aux["rpn_objectness"],
+                aux["rpn_box_deltas"],
+                bbox_threshold=0.1,
+            )
 
     total = frcnn_total + distill
     metrics = dict(metrics)
@@ -238,16 +311,22 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
     computes that prefix once for both models.  Gradients for the prefix
     are structural zeros either way (stop_gradient in ResNetC4).
     """
-    if getattr(model_student, "is_fpn", False) or getattr(model_teacher, "is_fpn", False):
+    is_fpn = getattr(model_student, "is_fpn", False)
+    if is_fpn != getattr(model_teacher, "is_fpn", False):
         raise ValueError(
-            "the ABR incremental step is defined for the C4 detector (all "
-            "reference recipes are R-50-C4); the FPN family supports "
-            "first-task training and eval"
+            "teacher and student must share a backbone family for the "
+            "incremental step (the reference chains checkpoints of one "
+            "architecture, tools/train_incremental.py:184-249)"
         )
-    prefix_names = frozen_prefix_child_names(cfg) if share_frozen_prefix else ()
+    # the frozen-prefix CSE optimization targets the C4 ResNet layout;
+    # FPN runs without it (its prefix naming differs)
+    prefix_names = (
+        frozen_prefix_child_names(cfg)
+        if share_frozen_prefix and not is_fpn else ()
+    )
 
     def loss_fn(params, teacher_params, teacher, batch, key):
-        anchors = anchors_for_shape(
+        anchors = None if is_fpn else anchors_for_shape(
             cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
         )
         if prefix_names:
@@ -258,17 +337,23 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, teacher_params, batch: Batch):
-        # anchors from the traced batch shape: one cached executable per
-        # canvas orientation (see make_train_step)
-        anchors = anchors_for_shape(
-            cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
-        )
         key = jax.random.fold_in(jax.random.PRNGKey(int(cfg.SEED)), state.step)
         k_teacher, k_student = jax.random.split(key)
-        teacher = generate_soften_proposals(
-            model_teacher, teacher_params, batch.pixels, batch.sizes,
-            k_teacher, cfg, anchors,
-        )
+        if is_fpn:
+            teacher = generate_soften_proposals_fpn(
+                model_teacher, teacher_params, batch.pixels, batch.sizes,
+                k_teacher, cfg,
+            )
+        else:
+            # anchors from the traced batch shape: one cached executable
+            # per canvas orientation (see make_train_step)
+            anchors = anchors_for_shape(
+                cfg, batch.pixels.shape[1], batch.pixels.shape[2], stride
+            )
+            teacher = generate_soften_proposals(
+                model_teacher, teacher_params, batch.pixels, batch.sizes,
+                k_teacher, cfg, anchors,
+            )
         teacher = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, teacher_params, teacher, batch, k_student
@@ -279,5 +364,6 @@ def make_incremental_train_step(model_teacher, model_student, tx, cfg, canvas_hw
         )
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)
+    anchors = (None if is_fpn else
+               anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride))
     return train_step, anchors

@@ -240,7 +240,7 @@ def test_fpn_keypoint_variant_trains_and_evals():
     kps[0, :, :, 1] = rng.uniform(5, 50, (8, 17))
     kps[0, :, :, 2] = 1.0
     batch = b._replace(gt_keypoints=jnp.asarray(kps))
-    total, metrics = fpn_forward_detection_losses(
+    total, metrics, _ = fpn_forward_detection_losses(
         model, params, batch, jax.random.PRNGKey(0), cfg
     )
     assert "loss_kp" in metrics and np.isfinite(float(metrics["loss_kp"]))
@@ -277,7 +277,7 @@ def test_fpn_rpn_only_and_cls_agnostic():
     assert model2.rpn_only
     params2 = jax.jit(model2.init)(jax.random.PRNGKey(0), px, rois)
     rng = np.random.RandomState(3)
-    total, metrics = fpn_forward_detection_losses(
+    total, metrics, _ = fpn_forward_detection_losses(
         model2, params2, synth_batch(rng, b=1), jax.random.PRNGKey(0), cfg2
     )
     assert set(metrics) == {"loss_objectness", "loss_rpn_box_reg", "loss"}
