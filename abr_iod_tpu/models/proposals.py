@@ -119,7 +119,9 @@ def _select_single(
     valid = B.small_box_mask(boxes, min_size) if min_size > 0 else jnp.ones((k,), bool)
 
     keep_idx, keep_valid = nms_padded(
-        boxes, top_scores, valid, iou_threshold=nms_thresh, max_output=post_nms_top_n
+        boxes, top_scores, valid, iou_threshold=nms_thresh,
+        max_output=post_nms_top_n,
+        presorted=True,  # top_k/approx_max_k emit descending scores
     )
     return boxes[keep_idx], top_scores[keep_idx], keep_valid
 

@@ -228,6 +228,7 @@ def test_coco_full_metric_suite_area_and_recall():
     assert res["ARl"] == pytest.approx(1.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_coco_eval_scales_to_thousands_of_images():
     """The vectorized matcher must finish a 5k-image, 20-class synthetic
     eval in seconds (round-2 verdict weak #4: the python double loop took

@@ -92,6 +92,7 @@ def test_fpn_detector_builds_and_runs(setup):
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_fpn_train_step_learns(setup):
     cfg, model, params = setup
     rng = np.random.RandomState(0)
@@ -110,6 +111,7 @@ def test_fpn_train_step_learns(setup):
     assert losses[-1] < losses[0], losses  # same batch → loss must drop
 
 
+@pytest.mark.slow
 def test_fpn_eval_step_produces_detections(setup):
     cfg, model, params = setup
     eval_step, _ = make_eval_step(model, cfg, CANVAS)
@@ -174,6 +176,7 @@ def test_fpn_gn_and_dcn_take_effect():
     assert any("layer3" in k and "offset" in k for k in flat), "DCN not wired"
 
 
+@pytest.mark.slow
 def test_fpn_mask_eval_returns_dets_and_probs():
     """The FPN eval step must honor the C4 (dets, extras) contract so
     run_test's mask unpack works (review finding: it returned a bare
@@ -219,6 +222,7 @@ def test_group_norm_config_keys_take_effect():
     assert np.isfinite(np.asarray(out["cls_logits"])).all()
 
 
+@pytest.mark.slow
 def test_fpn_keypoint_variant_trains_and_evals():
     """KEYPOINT_ON with an FPN body builds the keypoint branch (review
     finding: it used to be silently ignored), trains its loss, and the
@@ -251,6 +255,7 @@ def test_fpn_keypoint_variant_trains_and_evals():
     assert np.isfinite(np.asarray(kp_out)).all()
 
 
+@pytest.mark.slow
 def test_fpn_rpn_only_and_cls_agnostic():
     """MODEL.RPN_ONLY and MODEL.CLS_AGNOSTIC_BBOX_REG must take effect on
     the FPN family like they do on C4 (round-2 advisor finding: they were

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,8 @@ from abr_iod_tpu.models.retinanet import (
     retinanet_anchors,
     retinanet_loss,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy tier: run with `pytest -m ""`
 
 
 def test_fpn_shapes(rng):

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # compile-heavy tier: run with `pytest -m ""`
+
 from abr_iod_tpu.models import FasterRCNN
 from abr_iod_tpu.models.anchors import grid_anchors
 from abr_iod_tpu.models.proposals import select_proposals

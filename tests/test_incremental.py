@@ -192,6 +192,7 @@ def test_shared_frozen_prefix_step_identical(rng):
 
 
 
+@__import__('pytest').mark.slow
 def test_fpn_incremental_step_with_all_distillation(rng):
     """The ABR incremental step runs on the FPN family too (round-2
     verdict item 6: the reference machinery is backbone-generic,

@@ -9,7 +9,10 @@ import jax.numpy as jnp
 from abr_iod_tpu.engine import Batch, TrainState, make_train_step
 from abr_iod_tpu.solver.optim import make_optimizer
 from abr_iod_tpu.structures.masks import resample_gt_crops_to_rois
+import pytest
 from tests.test_train_step import CANVAS, tiny_cfg, tiny_model, synth_batch
+
+pytestmark = pytest.mark.slow  # compile-heavy tier: run with `pytest -m ""`
 
 
 def test_resample_identity_and_offset():

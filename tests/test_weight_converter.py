@@ -93,6 +93,7 @@ def test_caffe2_conversion(rng):
     )
 
 
+@__import__('pytest').mark.slow
 def test_entry_loads_real_weights_when_present(rng, tmp_path, monkeypatch):
     """__graft_entry__.entry() flows ABR_IOD_WEIGHTS_DIR/R-50.pkl through
     the converter (round-2 verdict weak #6: the flagship entry used to be
