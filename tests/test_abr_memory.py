@@ -139,6 +139,7 @@ def _toy_bank(rng, n=6, bank_hw=(32, 32)):
                     jnp.asarray(labels))
 
 
+@pytest.mark.slow
 def test_abr_fusion_modes(rng):
     b, h, w, m = 8, 96, 128, 10
     pixels = jnp.asarray(rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32))
@@ -171,6 +172,7 @@ def test_abr_fusion_modes(rng):
             assert (v[:, 0] >= -1e-3).all()
 
 
+@pytest.mark.slow
 def test_abr_fusion_mixup_blends_pixels(rng):
     # force mixup by trying many seeds and checking at least one image mixes:
     # a mixup keeps the original valid size but changes pixels

@@ -5,6 +5,7 @@ reference's *distribution* — mode mix 2:1:1 untouched:mixup:mosaic
 sequential retry loops."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _bank(rng, n=32):
     )
 
 
+@pytest.mark.slow
 def test_mode_frequencies(rng):
     b, h, w, m = 64, 64, 96, 10
     pixels = jnp.asarray(rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32))

@@ -5,6 +5,7 @@ merely load.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def _forward(cfg):
     return model, params, out
 
 
+@pytest.mark.slow
 def test_stage_with_dcn_builds_offset_convs_and_runs():
     cfg = _tiny(get_default_config())
     cfg.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, True, True)
@@ -65,6 +67,7 @@ def test_modulated_dcn_offset_channels():
     assert off and all(o.shape[-1] == 27 for o in off), [o.shape for o in off]
 
 
+@pytest.mark.slow
 def test_dcn_gradients_flow_to_offsets():
     cfg = _tiny(get_default_config())
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 0  # nothing frozen

@@ -101,6 +101,7 @@ def test_sharded_grouping_agrees_across_processes(mixed_root):
         assert l0._is_portrait(a[0]) == l1._is_portrait(b[0])
 
 
+@pytest.mark.slow
 def test_train_step_compiles_both_orientations():
     """One train step serves both canvases (anchors derived from the traced
     shape): run landscape then portrait batches through the same step."""

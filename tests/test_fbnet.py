@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def test_irf_block_stride(rng):
     assert y.shape == (1, 4, 4, 24)
 
 
+@pytest.mark.slow
 def test_fbnet_trunk_legacy_archs(rng):
     x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
     for arch in ("xirb16d", "mnv2"):
@@ -32,6 +34,7 @@ def test_fbnet_trunk_legacy_archs(rng):
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_fbnet_trunk_reference_archs(rng):
     """Reference-format MODEL_ARCH tables (fbnet_modeldef.py): trunk runs
     the 'backbone' stage groups; final channels come from the last
@@ -64,6 +67,7 @@ def test_fbnet_primitive_registry(rng):
         assert np.isfinite(np.asarray(y)).all(), op
 
 
+@pytest.mark.slow
 def test_fbnet_detector_trains_one_step(rng):
     """An FBNet config trains one step like the other model families
     (reference fbnet.py FBNetRPNHead/ROIHead wiring)."""

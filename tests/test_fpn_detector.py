@@ -124,6 +124,7 @@ def test_fpn_eval_step_produces_detections(setup):
     assert np.isfinite(np.asarray(dets.scores)).all()
 
 
+@pytest.mark.slow
 def test_fpn_mask_variant_runs():
     cfg = tiny_fpn_cfg()
     cfg.MODEL.MASK_ON = True
@@ -159,6 +160,7 @@ def test_r101_fpn_gets_true_depth():
     assert tuple(build_fpn_detector(cfg).stages) == (3, 4, 6, 3)
 
 
+@pytest.mark.slow
 def test_fpn_gn_and_dcn_take_effect():
     """TRANS_FUNC / STAGE_WITH_DCN must reach the FPN body too (review
     finding: they were validated then discarded)."""
@@ -196,6 +198,7 @@ def test_fpn_mask_eval_returns_dets_and_probs():
     assert np.isfinite(np.asarray(mask_probs)).all()
 
 
+@pytest.mark.slow
 def test_group_norm_config_keys_take_effect():
     """MODEL.GROUP_NORM.{NUM_GROUPS,EPSILON,DIM_PER_GP} flow into every GN
     site (review finding: they were dead keys with hardcoded 32/1e-5)."""
@@ -291,6 +294,7 @@ def test_fpn_rpn_only_and_cls_agnostic():
     assert np.asarray(dets.labels).max() == 0  # objectness has no class
 
 
+@pytest.mark.slow
 def test_fpn_keypoint_pooler_resolution_honored():
     """ROI_KEYPOINT_HEAD.POOLER_RESOLUTION must drive the keypoint pool
     (round-2 advisor finding: it silently used the mask resolution)."""

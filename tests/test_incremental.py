@@ -1,6 +1,7 @@
 """Teacher/student incremental step + head growth + distillation losses."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -150,6 +151,7 @@ def test_ard_zero_for_identical_maps(rng):
     assert float(D.attentive_roi_distillation_loss(f, g)) > 0
 
 
+@pytest.mark.slow
 def test_shared_frozen_prefix_step_identical(rng):
     """TPU.SHARE_FROZEN_PREFIX computes the frozen stem/layer prefix once
     for teacher+student; when the prefixes are value-identical (the gate,

@@ -2,6 +2,7 @@
 stage when fed the same weights (stacked)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_scan_stage_matches_unrolled(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_model_trains(rng):
     from abr_iod_tpu.models import FasterRCNN
 

@@ -1,6 +1,7 @@
 """End-to-end train/eval step on a tiny model over the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -145,6 +146,7 @@ def test_external_proposal_training_path(rng):
     assert "loss_classifier" in metrics and "loss_box_reg" in metrics
 
 
+@pytest.mark.slow
 def test_mesh_invariance_dp_and_tp(rng):
     """The mesh only changes WHERE the math runs: the same global batch on
     a 1-device mesh, an 8-way data mesh, and a 4x2 data x model (TP) mesh

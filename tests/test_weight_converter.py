@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +39,7 @@ def _fake_torchvision_sd(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_torchvision_conversion_aligns_with_model(rng):
     sd = _fake_torchvision_sd(rng)
     tree = convert_torchvision_resnet50(sd)
