@@ -64,13 +64,11 @@ def build_detection_model(cfg):
     )
     bh = cfg.MODEL.ROI_BOX_HEAD
     sampling_ratio = int(bh.POOLER_SAMPLING_RATIO)
-    if sampling_ratio <= 0:
-        # adaptive sampling (ratio=0 in torchvision-style RoIAlign) is
-        # data-dependent and incompatible with static TPU shapes — fail
-        # loudly instead of silently substituting a fixed grid
+    if sampling_ratio < 0:
         raise ValueError(
-            "POOLER_SAMPLING_RATIO=0 (adaptive) is unsupported; set an "
-            "explicit ratio (the reference recipe uses 2)"
+            f"POOLER_SAMPLING_RATIO={sampling_ratio} is invalid; use 0 "
+            "(adaptive ceil(roi/bin) grid, reference ROIAlign_cuda.cu:76-80) "
+            "or a positive fixed grid (the shipped recipes use 2)"
         )
     return FasterRCNN(
         num_classes=int(cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES),

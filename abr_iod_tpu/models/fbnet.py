@@ -544,7 +544,7 @@ class FBNetRoIBoxHead(nn.Module):
             lambda f, r: roi_align(
                 f, r, output_size=self.pooler_resolution,
                 spatial_scale=self.pooler_scale,
-                sampling_ratio=max(self.pooler_sampling_ratio, 1),
+                sampling_ratio=self.pooler_sampling_ratio,
             )
         )(features, rois)
         roi_feats = pool
@@ -600,7 +600,7 @@ class FBNetRoIMaskHead(nn.Module):
             lambda f, r: roi_align(
                 f, r, output_size=self.pooler_resolution,
                 spatial_scale=self.pooler_scale,
-                sampling_ratio=max(self.pooler_sampling_ratio, 1),
+                sampling_ratio=self.pooler_sampling_ratio,
             )
         )(features, rois)
         x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)

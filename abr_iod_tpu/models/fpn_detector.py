@@ -221,20 +221,18 @@ def build_fpn_detector(cfg):
     bh = cfg.MODEL.ROI_BOX_HEAD
     dtype = _DTYPES[str(cfg.TPU.COMPUTE_DTYPE)]
     box_ratio = int(bh.POOLER_SAMPLING_RATIO)
-    if box_ratio <= 0:
-        # same contract as the C4 builder (build.py): adaptive sampling
-        # (ratio=0) is data-dependent and incompatible with static TPU
-        # shapes — fail loudly instead of silently substituting a grid
+    if box_ratio < 0:
         raise ValueError(
-            "POOLER_SAMPLING_RATIO=0 (adaptive) is unsupported for the FPN "
-            "box head; set an explicit ratio (the reference recipe uses 2)"
+            f"POOLER_SAMPLING_RATIO={box_ratio} is invalid; 0 = adaptive "
+            "(reference ROIAlign_cuda.cu:76-80), positive = fixed grid"
         )
 
     def _aux_ratio(v: int) -> int:
-        # mask/keypoint poolers default to 0 (adaptive) in the reference
-        # config; substitute the documented fixed 2x2 grid (DESIGN.md #5)
-        # for 0 but honor any explicit ratio >= 1
-        return int(v) if int(v) >= 1 else 2
+        # 0 = adaptive per-RoI grid (the reference mask/keypoint pooler
+        # default), handled natively by ops/roi_align since round 3
+        if int(v) < 0:
+            raise ValueError(f"POOLER_SAMPLING_RATIO={v} is invalid")
+        return int(v)
 
     return FasterRCNNFPN(
         num_classes=int(bh.NUM_CLASSES),

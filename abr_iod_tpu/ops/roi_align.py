@@ -17,10 +17,13 @@ output for static ``sampling_ratio >= 1``, including:
   * out-of-range samples (y < -1 or y > H) contribute 0 (cuda:21-25)
   * boundary clamping of sample coordinates (cuda:27-46)
 
-The reference's adaptive sampling (sampling_ratio=0 → ceil(roi/bin)) is
-data-dependent and cannot be compiled statically; ABR's shipped configs
-use sampling_ratio=2 (configs/voc/15-5/e2e_faster_rcnn_R_50_C4_4x.yaml:22),
-which we support exactly.
+The reference's adaptive sampling (sampling_ratio=0 → ceil(roi/bin),
+cuda:76-80) is data-dependent per RoI, but its grid size is bounded by
+ceil(feature_size / pooled) for any image-clipped RoI — so it compiles
+statically as a masked max-size grid: samples beyond each RoI's own
+ceil(bin) grid carry zero weight and the in-bin average divides by the
+per-RoI count.  Exact for every clipped RoI; ABR's shipped configs use
+sampling_ratio=2 anyway.
 """
 
 from __future__ import annotations
@@ -36,18 +39,29 @@ def _interp_matrix(start, bin_size, size: int, pooled: int, sampling_ratio: int,
 
     start:    [R] roi start coordinate (already scaled to feature cells)
     bin_size: [R] bin size in feature cells
+    sampling_ratio: >= 1 static grid, or 0 = adaptive (per-RoI
+    ceil(bin) grid, cuda:76-80) realized as a masked static max grid.
     """
     R = start.shape[0]
-    S = pooled * sampling_ratio
-    # sample coordinates: y = start + ph*bin + (iy+0.5)*bin/ratio
+    if sampling_ratio >= 1:
+        max_grid = sampling_ratio
+        grid = jnp.full((R,), float(sampling_ratio), dtype)
+    else:
+        # adaptive: grid = ceil(roi/bin) <= ceil(size/pooled) for any
+        # image-clipped RoI (+1 slack for sub-cell float edges)
+        max_grid = -(-size // pooled) + 1
+        grid = jnp.clip(jnp.ceil(bin_size), 1.0, float(max_grid)).astype(dtype)
+    S = pooled * max_grid
+    # sample coordinates: y = start + ph*bin + (iy+0.5)*bin/grid
     s_idx = jnp.arange(S, dtype=dtype)  # flattened (ph, iy)
-    ph = s_idx // sampling_ratio
-    iy = s_idx % sampling_ratio
+    ph = s_idx // max_grid
+    iy = s_idx % max_grid
     y = (
         start[:, None]
         + ph[None, :] * bin_size[:, None]
-        + (iy[None, :] + 0.5) * bin_size[:, None] / sampling_ratio
+        + (iy[None, :] + 0.5) * bin_size[:, None] / grid[:, None]
     )  # [R, S]
+    active = iy[None, :] < grid[:, None]  # adaptive: mask unused samples
 
     in_range = (y >= -1.0) & (y <= size)  # cuda:21-25 (empty outside)
     yc = jnp.maximum(y, 0.0)  # cuda:27-28
@@ -62,9 +76,9 @@ def _interp_matrix(start, bin_size, size: int, pooled: int, sampling_ratio: int,
     w = (cells == y_low[..., None]) * (1.0 - frac[..., None]) + (
         cells == y_high[..., None]
     ) * frac[..., None]
-    w = jnp.where(in_range[..., None], w, 0.0)  # [R, S, size]
-    # fold the in-bin average (1/ratio per axis; total 1/count is separable)
-    w = w.reshape(R, pooled, sampling_ratio, size).mean(axis=2)
+    w = jnp.where((in_range & active)[..., None], w, 0.0)  # [R, S, size]
+    # fold the in-bin average (1/count per axis; total 1/(gh*gw) is separable)
+    w = w.reshape(R, pooled, max_grid, size).sum(axis=2) / grid[:, None, None]
     return w.astype(dtype)
 
 

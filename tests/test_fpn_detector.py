@@ -314,16 +314,18 @@ def test_fpn_keypoint_pooler_resolution_honored():
     assert out["keypoint_logits"].shape[2:4] == (40, 40)
 
 
-def test_fpn_adaptive_box_sampling_ratio_rejected():
-    """POOLER_SAMPLING_RATIO=0 (adaptive) must fail loudly on the FPN box
-    head like it does on C4, and an explicit 1 must be honored (round-2
-    advisor finding: both were silently clamped to 2)."""
+def test_fpn_adaptive_box_sampling_ratio_honored():
+    """POOLER_SAMPLING_RATIO flows through unclamped: 0 selects the
+    native adaptive grid (supported since round 3), 1 stays 1 (round-2
+    advisor finding: both were silently clamped to 2), negatives fail."""
     cfg = tiny_fpn_cfg()
     cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
-    with pytest.raises(ValueError, match="SAMPLING_RATIO"):
-        build_detection_model(cfg)
+    assert build_detection_model(cfg).pooler_sampling_ratio == 0
     cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 1
     assert build_detection_model(cfg).pooler_sampling_ratio == 1
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = -1
+    with pytest.raises(ValueError, match="SAMPLING_RATIO"):
+        build_detection_model(cfg)
 
 
 def test_gn_non_divisible_realistic_config_rejected():

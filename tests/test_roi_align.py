@@ -69,3 +69,23 @@ def test_roi_align_grad_flows(rng):
     assert g.shape == feats.shape
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_roi_align_adaptive_sampling_matches_oracle(rng):
+    """sampling_ratio=0 (adaptive per-RoI ceil(bin) grid, reference
+    ROIAlign_cuda.cu:76-80) — realized as a masked static max grid; must
+    match the CPU-kernel oracle exactly (round-2 verdict missing #6)."""
+    H, W, C = 24, 32, 5
+    feat = rng.randn(H, W, C).astype(np.float32)
+    rois = np.array([
+        [0.0, 0.0, 500.0, 380.0],    # whole image (grid ~4x5 after clip)
+        [16.0, 8.0, 160.0, 120.0],   # mid box, grid ceil varies per axis
+        [4.0, 4.0, 18.0, 18.0],      # tiny box -> grid 1
+        [100.0, 90.0, 101.0, 91.0],  # degenerate -> 1x1 rule
+    ], np.float32)
+    got = np.asarray(roi_align(
+        jnp.asarray(feat), jnp.asarray(rois), output_size=7,
+        spatial_scale=1.0 / 16, sampling_ratio=0, precision="highest",
+    ))
+    ref = roi_align_numpy(feat, rois, 7, 1.0 / 16, 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
