@@ -591,13 +591,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
             )
         )
         # keep the VOC-shaped surface for the ledger/gate: map = AP50
-        # (the reference's VOC-protocol comparable number); full COCO
-        # metrics ride alongside
+        # (the VOC-protocol comparable number — IoU .5, matching the
+        # reference's VOC tables); the per-class vector and the full
+        # COCO suite (IoU-averaged AP etc.) ride alongside in 'coco'
         n_lab = max(coco["per_class"], default=0) + 1
         ap = np.full(n_lab, np.nan)
         for l, v in coco["per_class"].items():
             ap[l] = v
-        result = {"map": coco["AP"], "ap": ap, "coco": coco}
+        result = {"map": coco["AP50"], "ap": ap, "coco": coco}
     else:
         result = eval_detection_voc(predictions, ground_truths)
     if seg_predictions:

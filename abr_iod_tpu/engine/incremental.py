@@ -115,15 +115,25 @@ def generate_soften_proposals_fpn(model, params, pixels, sizes, key,
     anchors_l = fpn_level_anchors(cfg, [p.shape for p in pyramid])
     pb, ps, pv = _select_fpn_proposals(rpn_outs, anchors_l, sizes, cfg, False)
     # cross-level merge is objectness-sorted desc (top_k), so the first
-    # `topk` slots ARE the reference's sort-then-top-128; valid first
-    boxes_t, valid_t = pb[:, :topk], pv[:, :topk]
+    # `topk` slots ARE the reference's sort-then-top-128; valid first.
+    # The merged buffer can be narrower than SOFTEN_TOPK (small
+    # FPN_POST_NMS_TOP_N) — clamp instead of letting take_along_axis
+    # silently duplicate the last slot
+    eff_topk = min(topk, pb.shape[1])
+    if keep > eff_topk:
+        raise ValueError(
+            f"TPU.SOFTEN_KEEP={keep} exceeds the {eff_topk} available "
+            "merged FPN proposals (raise FPN_POST_NMS_TOP_N or lower "
+            "SOFTEN_KEEP)"
+        )
+    boxes_t, valid_t = pb[:, :eff_topk], pv[:, :eff_topk]
 
     bsz = pixels.shape[0]
     n_valid = jnp.sum(valid_t.astype(jnp.int32), axis=1)
 
     def pick(k, nv_i):
-        r = jax.random.uniform(k, (topk,))
-        r = jnp.where(jnp.arange(topk) < nv_i, r, 2.0)
+        r = jax.random.uniform(k, (eff_topk,))
+        r = jnp.where(jnp.arange(eff_topk) < nv_i, r, 2.0)
         return jnp.argsort(r)[:keep]
 
     sel = jax.vmap(pick)(jax.random.split(key, bsz), n_valid)

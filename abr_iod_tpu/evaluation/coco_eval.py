@@ -50,12 +50,15 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
     return np.prod(np.clip(boxes[:, 2:4] - boxes[:, :2], 0, None), axis=1)
 
 
-def _match_image(pred, gt, area_rng, max_dets: int):
+def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None):
     """Greedy COCOeval matching for one image and one class, all IoU
     thresholds at once (the per-det loop is the only python loop —
     gt candidates and thresholds are vectorized).
 
-    pred: [D, 5] (x1,y1,x2,y2,score) score-sorted desc; gt: [G, 4].
+    pred: [D, 5] (x1,y1,x2,y2,score) score-sorted desc; gt: [G, 4];
+    iou_full: optional precomputed IoU [len(pred), G] in the ORIGINAL
+    det/gt order (computed once per (image, class) and reused across
+    area ranges, like pycocotools' computeIoU cache).
     Returns (scores [D], tp [T, D], ignore [T, D], n_gt_considered).
     """
     lo, hi = area_rng
@@ -73,7 +76,10 @@ def _match_image(pred, gt, area_rng, max_dets: int):
     if D == 0:
         return (np.zeros((0,)), np.zeros((T, 0), bool), np.zeros((T, 0), bool),
                 npig)
-    iou = _iou_xyxy(p[:, :4], gt) if G else np.zeros((D, 0))
+    if iou_full is not None:
+        iou = iou_full[:max_dets][:, order_g] if G else np.zeros((D, 0))
+    else:
+        iou = _iou_xyxy(p[:, :4], gt) if G else np.zeros((D, 0))
     thr = IOU_THRESHOLDS[:, None]  # [T, 1]
 
     matched = np.zeros((T, G), bool)
@@ -151,14 +157,12 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
         labels_all.update(np.unique(gt["labels"]).tolist())
     labels_all = sorted(int(l) for l in labels_all if l > 0)
 
-    # per (class, area): per-image match results at maxDets=100
-    stats = {}  # (label, area) -> ap [T], plus recalls per maxDets
     per_class_ap, per_class_ap50, per_class_ap75 = {}, {}, {}
     area_aps = {k: [] for k in AREA_RANGES}
     recalls = {k: [] for k in ("AR1", "AR10", "AR100", "ARs", "ARm", "ARl")}
 
     for l in labels_all:
-        preds, gts = [], []
+        preds, gts, ious = [], [], []
         for pred, gt in zip(predictions, ground_truths):
             pm = pred["labels"] == l
             p = (np.concatenate(
@@ -166,22 +170,26 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
                  if pm.any() else np.zeros((0, 5)))
             p = p[np.argsort(-p[:, 4], kind="stable")]
             preds.append(p)
-            gts.append(gt["boxes"][gt["labels"] == l])
+            g = gt["boxes"][gt["labels"] == l]
+            gts.append(g)
+            # IoU once per (image, class), reused across area ranges
+            # (pycocotools computeIoU cache)
+            ious.append(_iou_xyxy(p[:, :4], g)
+                        if len(p) and len(g) else np.zeros((len(p), len(g))))
 
         for area, rng in AREA_RANGES.items():
             per_image, npig = [], 0
-            for p, g in zip(preds, gts):
-                s, tp, ig, n = _match_image(p, g, rng, max_dets)
+            for p, g, iou in zip(preds, gts, ious):
+                s, tp, ig, n = _match_image(p, g, rng, max_dets, iou_full=iou)
                 per_image.append((s, tp, ig))
                 npig += n
             ap, rec = _accumulate(per_image, npig, max_dets)
-            stats[(l, area)] = ap
             if area == "all":
                 per_class_ap[l] = float(np.nanmean(ap))
                 per_class_ap50[l] = float(ap[0])
                 per_class_ap75[l] = float(ap[5])
-                ar_key = {"AR100": max_dets, "AR10": 10, "AR1": 1}
-                for k, md in ar_key.items():
+                recalls["AR100"].append(np.nanmean(rec))
+                for k, md in (("AR10", 10), ("AR1", 1)):
                     _, r = _accumulate(per_image, npig, md)
                     recalls[k].append(np.nanmean(r))
             else:

@@ -105,6 +105,8 @@ class FasterRCNNFPN(nn.Module):
         self.rpn_head = RPNHead(
             num_anchors=self.num_anchors, dtype=self.dtype, name="rpn"
         )
+        if self.rpn_only:
+            return  # proposal network only: no RoI stages built (like C4)
         self.box_head = FPNBoxHead(
             num_classes=self.num_classes,
             representation_size=self.representation_size,
@@ -191,6 +193,11 @@ class FasterRCNNFPN(nn.Module):
         """Init/inspection path."""
         pyramid, _ = self.backbone(pixels)
         rpn_outs = self.rpn(pyramid)
+        if self.rpn_only:
+            return {
+                "pyramid_shapes": tuple(p.shape for p in pyramid),
+                "objectness": tuple(o for o, _ in rpn_outs),
+            }
         cls_logits, box_reg, pool, _ = self.roi_heads(pyramid, rois)
         out = {
             "pyramid_shapes": tuple(p.shape for p in pyramid),
