@@ -55,6 +55,7 @@ def test_mode_frequencies(rng):
     assert abs(mixup / total - 0.25) < 0.08, mixup / total
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_mixup_adds_at_most_two_crops(rng):
     b, h, w, m = 48, 64, 96, 10
     pixels = jnp.zeros((b, h, w, 3))

@@ -51,6 +51,7 @@ def test_stage_with_dcn_builds_offset_convs_and_runs():
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_modulated_dcn_offset_channels():
     cfg = _tiny(get_default_config())
     cfg.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, True, False)

@@ -52,6 +52,7 @@ def test_fbnet_trunk_reference_archs(rng):
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_fbnet_primitive_registry(rng):
     """Every registered primitive builds and runs (fbnet_builder.py
     PRIMITIVES:37-193)."""

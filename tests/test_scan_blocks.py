@@ -61,6 +61,7 @@ def test_scan_model_trains(rng):
     assert l1["block_rest"]["block"]["conv1"]["kernel"].shape[0] == 2
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_align_restacks_unrolled_checkpoint_into_scan_model(rng):
     from abr_iod_tpu.models import FasterRCNN
     from abr_iod_tpu.utils.checkpoint import align_and_update_params
