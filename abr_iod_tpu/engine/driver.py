@@ -105,12 +105,14 @@ def make_data_source(cfg, dataset_name: str, mode: str):
 def init_params(cfg, model, seed: Optional[int] = None):
     canvas = tuple(cfg.TPU.CANVAS_TRAIN)
     pixels = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
-    rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 32.0, 32.0])
+    key = jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED))
     # jit the init: eager init dispatches hundreds of ops one-by-one,
     # which is pathologically slow through remote-dispatch TPU tunnels
-    return jax.jit(model.init)(
-        jax.random.PRNGKey(seed if seed is not None else int(cfg.SEED)), pixels, rois
-    )
+    if getattr(model, "is_retinanet", False):
+        # single-stage: no RoI argument in the apply surface
+        return jax.jit(model.init)(key, pixels)
+    rois = jnp.zeros((1, 4, 4)) + jnp.asarray([0.0, 0.0, 32.0, 32.0])
+    return jax.jit(model.init)(key, pixels, rois)
 
 
 def _missing_weight_fallback(fresh, why: str, logger):

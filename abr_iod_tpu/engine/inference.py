@@ -21,6 +21,10 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
     """Anchors come from the traced pixel shape, so the same eval step
     serves landscape and transposed-portrait canvases (two cached
     executables; see make_train_step)."""
+    if getattr(model, "is_retinanet", False):
+        from .retinanet import make_retinanet_eval_step
+
+        return make_retinanet_eval_step(model, cfg, canvas_hw)
     if getattr(model, "is_fpn", False):
         from .fpn import make_fpn_eval_step
 

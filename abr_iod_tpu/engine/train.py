@@ -239,6 +239,10 @@ def make_train_step(model, tx, cfg, canvas_hw, stride: int = 16):
     aspect-ratio-grouped ragged batches, grouped_batch_sampler.py:9-113).
     """
 
+    if getattr(model, "is_retinanet", False):
+        from .retinanet import make_retinanet_train_step
+
+        return make_retinanet_train_step(model, tx, cfg, canvas_hw)
     if getattr(model, "is_fpn", False):
         from .fpn import make_fpn_train_step
 

@@ -103,9 +103,14 @@ def flatten_retinanet_outputs(logits, bbox_reg, num_classes_m1: int):
 
 def retinanet_loss(cls_logits, box_reg, anchors, gt_boxes, gt_labels, gt_mask,
                    fg_iou=0.5, bg_iou=0.4, gamma=2.0, alpha=0.25, beta=0.11,
-                   reg_weight=4.0):
+                   reg_weight=4.0, box_weights=(10.0, 10.0, 5.0, 5.0)):
     """cls_logits [B,N,C-1], box_reg [B,N,4], anchors [N,4]
-    (reference retinanet/loss.py)."""
+    (reference retinanet/loss.py:43-81): anchors matched at FG/BG_IOU with
+    low-quality recovery, between-thresholds anchors ignored (focal sees
+    label -1), targets encoded with the RetinaNet BoxCoder (10,10,5,5 —
+    retinanet.py:101), then BATCH-level normalization — cls by
+    (total positives + num images), reg by max(1, total positives *
+    BBOX_REG_WEIGHT)."""
 
     def one(logits, reg, boxes, labels, mask):
         quality = B.masked_iou(boxes, mask, anchors, jnp.ones(anchors.shape[0], bool))
@@ -115,17 +120,20 @@ def retinanet_loss(cls_logits, box_reg, anchors, gt_boxes, gt_labels, gt_mask,
         t_labels = jnp.where(res.matched_idx == M.BETWEEN_THRESHOLDS, -1, t_labels)
         pos = t_labels > 0
 
-        cls = sigmoid_focal_loss(logits, t_labels, gamma=gamma, alpha=alpha).sum()
+        cls_sum = sigmoid_focal_loss(logits, t_labels, gamma=gamma, alpha=alpha).sum()
         reg_targets = B.encode_boxes(boxes[res.matched_gt], anchors,
-                                     weights=(1.0, 1.0, 1.0, 1.0))
+                                     weights=tuple(box_weights))
         reg_l = smooth_l1_loss(reg, reg_targets, beta=beta).sum(-1)
-        n_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
-        return cls / (n_pos * max(1, logits.shape[-1])), jnp.sum(
-            jnp.where(pos, reg_l, 0.0)
-        ) / (n_pos * reg_weight)
+        return cls_sum, jnp.sum(jnp.where(pos, reg_l, 0.0)), jnp.sum(
+            pos.astype(jnp.float32))
 
-    cls_l, reg_l = jax.vmap(one)(cls_logits, box_reg, gt_boxes, gt_labels, gt_mask)
-    return jnp.mean(cls_l), jnp.mean(reg_l)
+    cls_sums, reg_sums, n_pos = jax.vmap(one)(
+        cls_logits, box_reg, gt_boxes, gt_labels, gt_mask)
+    n_images = cls_logits.shape[0]
+    pos_total = jnp.sum(n_pos)
+    cls_loss = jnp.sum(cls_sums) / (pos_total + n_images)
+    reg_loss = jnp.sum(reg_sums) / jnp.maximum(1.0, pos_total * reg_weight)
+    return cls_loss, reg_loss
 
 
 def _retinanet_postprocess_single(
@@ -238,6 +246,8 @@ class RetinaNetDetector(nn.Module):
     width_per_group: int = 64
     res2_out_channels: int = 256
     dtype: Any = jnp.float32
+
+    is_retinanet: bool = True  # engine dispatch flag (train.py / inference.py)
 
     def setup(self):
         from .backbone import ResNetFPNBackbone
