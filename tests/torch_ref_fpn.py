@@ -106,6 +106,126 @@ class TorchRefFPN(nn.Module):
         return self.cls_score(x), self.bbox_pred(x)
 
 
+class TorchRefRetinaNet(nn.Module):
+    """4-stage backbone + FPN with LastLevelP6P7 (fpn.py:80-99, USE_C5) +
+    the shared RetinaNet conv towers (retinanet/retinanet.py:24-64):
+    pyramid is P3..P7."""
+
+    def __init__(self, stages, width_per_group, res2_out, channels,
+                 num_anchors, num_classes_m1, num_convs):
+        super().__init__()
+        assert len(stages) == 4
+        self.stem_conv = nn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
+        self.stem_bn = FrozenBN(64)
+        layers, cin = [], 64
+        for idx, n_blocks in enumerate(stages):
+            factor = 2 ** idx
+            cmid, cout = width_per_group * factor, res2_out * factor
+            stage = []
+            for j in range(n_blocks):
+                stride = 1 if idx == 0 or j > 0 else 2
+                stage.append(Bottleneck(cin, cmid, cout, stride))
+                cin = cout
+            layers.append(nn.Sequential(*stage))
+        self.stages = nn.ModuleList(layers)
+        self.inner = nn.ModuleList([
+            nn.Conv2d(res2_out * 2 ** i, channels, 1) for i in range(4)
+        ])
+        self.layer = nn.ModuleList([
+            nn.Conv2d(channels, channels, 3, padding=1) for _ in range(4)
+        ])
+        self.p6 = nn.Conv2d(res2_out * 8, channels, 3, 2, padding=1)
+        self.p7 = nn.Conv2d(channels, channels, 3, 2, padding=1)
+        self.cls_tower = nn.ModuleList([
+            nn.Conv2d(channels, channels, 3, padding=1)
+            for _ in range(num_convs)
+        ])
+        self.bbox_tower = nn.ModuleList([
+            nn.Conv2d(channels, channels, 3, padding=1)
+            for _ in range(num_convs)
+        ])
+        self.cls_logits = nn.Conv2d(
+            channels, num_anchors * num_classes_m1, 3, padding=1)
+        self.bbox_pred = nn.Conv2d(channels, num_anchors * 4, 3, padding=1)
+
+    def pyramid(self, x):
+        x = F.relu(self.stem_bn(self.stem_conv(x)))
+        x = F.max_pool2d(x, 3, 2, padding=1)
+        feats = []
+        for stage in self.stages:
+            x = stage(x)
+            feats.append(x)
+        inner = [m(c) for m, c in zip(self.inner, feats)]
+        outs = [None] * 4
+        last = inner[-1]
+        outs[-1] = self.layer[-1](last)
+        for i in range(2, -1, -1):
+            last = inner[i] + F.interpolate(last, scale_factor=2, mode="nearest")
+            outs[i] = self.layer[i](last)
+        p6 = self.p6(feats[-1])  # on C5 (USE_C5)
+        p7 = self.p7(F.relu(p6))
+        return outs[1:] + [p6, p7]  # P3..P7
+
+    def head(self, pyramid):
+        out = []
+        for p in pyramid:
+            c = p
+            for conv in self.cls_tower:
+                c = F.relu(conv(c))
+            t = p
+            for conv in self.bbox_tower:
+                t = F.relu(conv(t))
+            out.append((self.cls_logits(c), self.bbox_pred(t)))
+        return out
+
+
+def copy_flax_retinanet_params_to_torch(params, model: TorchRefRetinaNet):
+    """Copy an abr_iod_tpu RetinaNetDetector param tree into the oracle."""
+    p = params["params"]
+
+    def conv_w(tree):
+        return torch.from_numpy(np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+
+    def set_conv(dst, tree):
+        dst.weight.copy_(conv_w(tree))
+        dst.bias.copy_(torch.from_numpy(np.asarray(tree["bias"])))
+
+    def set_bn(dst, tree):
+        for name in ("weight", "bias", "running_mean", "running_var"):
+            getattr(dst, name).copy_(torch.from_numpy(np.asarray(tree[name])))
+
+    def set_block(dst, tree):
+        if dst.has_down:
+            dst.downsample_conv.weight.copy_(conv_w(tree["downsample_conv"]))
+            set_bn(dst.downsample_bn, tree["downsample_bn"])
+        for i in (1, 2, 3):
+            getattr(dst, f"conv{i}").weight.copy_(conv_w(tree[f"conv{i}"]))
+            set_bn(getattr(dst, f"bn{i}"), tree[f"bn{i}"])
+
+    body = p["backbone"]["body"]
+    fpn = p["backbone"]["fpn"]
+    head = p["head"]
+    with torch.no_grad():
+        model.stem_conv.weight.copy_(conv_w(body["stem"]["conv1"]))
+        set_bn(model.stem_bn, body["stem"]["bn1"])
+        for idx, stage in enumerate(model.stages):
+            tree = body[f"layer{idx + 1}"]
+            for j, block in enumerate(stage):
+                set_block(block, tree[f"block{j}"])
+        for i in range(4):
+            set_conv(model.inner[i], fpn[f"fpn_inner{i + 1}"])
+            set_conv(model.layer[i], fpn[f"fpn_layer{i + 1}"])
+        set_conv(model.p6, fpn["p6"])
+        set_conv(model.p7, fpn["p7"])
+        for i, conv in enumerate(model.cls_tower):
+            set_conv(conv, head[f"cls_tower{i}"])
+        for i, conv in enumerate(model.bbox_tower):
+            set_conv(conv, head[f"bbox_tower{i}"])
+        set_conv(model.cls_logits, head["cls_logits"])
+        set_conv(model.bbox_pred, head["bbox_pred"])
+    return model
+
+
 # ------------------------------------------------------------- numpy refs
 def fpn_level_np(rois, k_min=2, k_max=5, canonical_scale=224,
                  canonical_level=4):
