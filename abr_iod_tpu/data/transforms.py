@@ -18,28 +18,48 @@ from typing import Tuple
 import numpy as np
 
 
+def reference_resize_hw(h: int, w: int, min_size: int,
+                        max_size: int) -> Tuple[int, int]:
+    """The reference's shortest-side rule with its EXACT integer
+    semantics (transforms.py:73-93 get_size): the max_size-capped target
+    uses int(round(.)), the long side int(truncate) — a round-both-sides
+    float-ratio version drifts by one pixel on fractional cases (e.g.
+    500x375 -> reference (800, 1066), ratio-rounding gives 1067)."""
+    size = int(min_size)
+    if max_size is not None:
+        min_o, max_o = float(min(h, w)), float(max(h, w))
+        if max_o / min_o * size > max_size:
+            size = int(round(max_size * min_o / max_o))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return h, w
+    if w < h:
+        return int(size * h / w), size
+    return size, int(size * w / h)
+
+
 def resize_ratio(h: int, w: int, min_size: int, max_size: int,
                  canvas_hw: Tuple[int, int]) -> float:
-    """The reference's shortest-side rule (transforms.py:64-93), further
-    capped so the result fits the static canvas."""
-    short, long = min(h, w), max(h, w)
-    ratio = min_size / short
-    if long * ratio > max_size:
-        ratio = max_size / long
-    ratio = min(ratio, canvas_hw[0] / h, canvas_hw[1] / w)
-    return ratio
+    """Scalar resize factor implied by the reference rule (kept for
+    callers that only need an approximate ratio; the data path uses the
+    exact per-axis integer sizes from reference_resize_hw)."""
+    nh, nw = reference_resize_hw(h, w, min_size, max_size)
+    ratio = min(nh / h, nw / w)
+    return min(ratio, canvas_hw[0] / h, canvas_hw[1] / w)
 
 
 def resize_to_canvas(image: np.ndarray, boxes: np.ndarray, min_size: int,
                      max_size: int, canvas_hw: Tuple[int, int]):
     """Resize + zero-pad into the canvas. Returns (canvas_img float32,
-    resized (h, w), scaled boxes)."""
+    resized (h, w), scaled boxes).  Target sizes follow the reference's
+    integer rule exactly; a result that exceeds the static canvas (only
+    possible with shrunken test canvases) is scaled down to fit."""
     from PIL import Image
 
     h, w = image.shape[:2]
-    ratio = resize_ratio(h, w, min_size, max_size, canvas_hw)
-    nh, nw = max(1, int(round(h * ratio))), max(1, int(round(w * ratio)))
-    nh, nw = min(nh, canvas_hw[0]), min(nw, canvas_hw[1])
+    nh, nw = reference_resize_hw(h, w, min_size, max_size)
+    if nh > canvas_hw[0] or nw > canvas_hw[1]:
+        r = min(canvas_hw[0] / nh, canvas_hw[1] / nw)
+        nh, nw = max(1, int(nh * r)), max(1, int(nw * r))
     resized = np.asarray(
         Image.fromarray(image.astype(np.uint8)).resize((nw, nh), Image.BILINEAR),
         dtype=np.float32,
