@@ -53,7 +53,14 @@ class DetectionLoader:
         self.max_gt = max_gt or int(cfg.TPU.MAX_GT)
         self.canvas = tuple(canvas or (cfg.TPU.CANVAS_TRAIN if is_train else cfg.TPU.CANVAS_TEST))
         self.dual_orientation = bool(cfg.TPU.get("DUAL_ORIENTATION", True))
-        self.min_size = int(cfg.INPUT.MIN_SIZE_TRAIN[0] if is_train else cfg.INPUT.MIN_SIZE_TEST)
+        # MIN_SIZE_TRAIN is a tuple: multi-scale training picks one entry
+        # per image (reference transforms.py:75 random.choice); single-
+        # scale recipes draw nothing so their rng streams are unchanged
+        ms = cfg.INPUT.MIN_SIZE_TRAIN if is_train else (cfg.INPUT.MIN_SIZE_TEST,)
+        if not isinstance(ms, (list, tuple)):
+            ms = (ms,)
+        self.min_sizes = tuple(int(m) for m in ms)
+        self.min_size = self.min_sizes[0]
         self.max_size = int(cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST)
         self.flip_prob = (
             float(cfg.INPUT.FLIP_PROB_TRAIN) if (flip if flip is not None else is_train) else 0.0
@@ -162,8 +169,11 @@ class DetectionLoader:
             saturation=float(self.cfg.INPUT.SATURATION),
             hue=float(self.cfg.INPUT.HUE),
         ) if self.is_train else image.astype(np.float32)
+        min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
+                    if self.is_train and len(self.min_sizes) > 1
+                    else self.min_size)
         canvas, size_hw, boxes = T.resize_to_canvas(
-            image, record["boxes"], self.min_size, self.max_size,
+            image, record["boxes"], min_size, self.max_size,
             self.canvas_for(index),
         )
         flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob

@@ -71,3 +71,30 @@ def test_resize_to_canvas_shrinks_to_fit_tiny_canvas():
     _, (nh, nw), _ = T.resize_to_canvas(
         img, np.zeros((0, 4), np.float32), 96, 128, (96, 128))
     assert nh <= 96 and nw <= 128 and (nh, nw) == (96, 128)
+
+
+def test_multiscale_min_size_train_samples_per_image(tmp_path):
+    """MIN_SIZE_TRAIN with several entries picks one PER IMAGE (reference
+    transforms.py:75 random.choice) — multi-scale training jitters the
+    resized shortest side across the batch stream."""
+    from abr_iod_tpu.config import get_default_config, VOC_CLASSES
+    from abr_iod_tpu.data.loader import DetectionLoader
+    from abr_iod_tpu.data.synthetic import make_synthetic_voc
+    from abr_iod_tpu.data.voc import VOCDataSource
+
+    root = str(tmp_path / "VOC2007")
+    make_synthetic_voc(root, n_images=10, classes=VOC_CLASSES[:6],
+                       image_hw=(120, 160))
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 172)
+    cfg.INPUT.MIN_SIZE_TRAIN = (64, 96, 128)
+    cfg.INPUT.MAX_SIZE_TRAIN = 172
+    cfg.TPU.MAX_GT = 8
+    src = VOCDataSource(root, "trainval", "train_new", (), VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=2, is_train=True)
+    shorts = set()
+    for b in loader.prefetched(max_batches=6):
+        for i in range(2):
+            shorts.add(int(min(b.sizes[i])))
+    # 120x160 inputs at min sizes 64/96/128 -> shortest sides 64/96/120
+    assert len(shorts) >= 2, shorts
