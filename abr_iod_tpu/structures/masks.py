@@ -66,41 +66,58 @@ def crop_and_resize_masks(masks, boxes, out_size: int):
     return jax.vmap(one)(masks, boxes)
 
 
+def _bilinear_resize_np(src: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Half-pixel bilinear resize (torch F.interpolate mode='bilinear',
+    align_corners=False, no antialiasing): output center (i+.5) maps to
+    source (i+.5)*s-.5, edge-clamped.  PIL's BILINEAR antialiases on
+    downscale, which the reference's interpolate does NOT — so the resize
+    is restated here rather than delegated to PIL."""
+    sh, sw = src.shape
+    ys = (np.arange(th, dtype=np.float64) + 0.5) * (sh / th) - 0.5
+    xs = (np.arange(tw, dtype=np.float64) + 0.5) * (sw / tw) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    fy = (ys - y0).astype(np.float32)
+    fx = (xs - x0).astype(np.float32)
+    y0c, y1c = np.clip(y0, 0, sh - 1), np.clip(y0 + 1, 0, sh - 1)
+    x0c, x1c = np.clip(x0, 0, sw - 1), np.clip(x0 + 1, 0, sw - 1)
+    top = src[np.ix_(y0c, x0c)] * (1 - fx) + src[np.ix_(y0c, x1c)] * fx
+    bot = src[np.ix_(y1c, x0c)] * (1 - fx) + src[np.ix_(y1c, x1c)] * fx
+    return top * (1 - fy)[:, None] + bot * fy[:, None]
+
+
 def paste_masks_in_image(mask_probs: np.ndarray, boxes: np.ndarray,
                          image_hw: Tuple[int, int], threshold: float = 0.5,
                          padding: int = 1) -> np.ndarray:
-    """Masker equivalent (host side): paste [N, M, M] probabilities into
-    binary image masks [N, H, W] (mask_head/inference.py:12-90)."""
-    from PIL import Image
-
+    """Masker restated EXACTLY (host side): paste [N, M, M] probabilities
+    into binary image masks [N, H, W] per mask_head/inference.py:119-160 —
+    expand the mask by `padding`, expand the box by (M+2p)/M, cast the
+    expanded box to int32 (truncation toward zero, the reference's
+    `.to(dtype=torch.int32)` quirk), resize the padded mask to
+    (y2-y1+1, x2-x1+1) with half-pixel bilinear, threshold, paste the
+    image-clipped window."""
     n, m, _ = mask_probs.shape
     h, w = image_hw
     out = np.zeros((n, h, w), dtype=bool)
-    # zero-pad then rescale like the reference (expand_masks semantics)
-    scale = (m + 2.0 * padding) / m
+    scale = (m + 2.0 * padding) / m  # expand_masks, inference.py:108-116
     for i in range(n):
         padded = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
         padded[padding:-padding or None, padding:-padding or None] = mask_probs[i]
-        x1, y1, x2, y2 = boxes[i]
+        x1, y1, x2, y2 = (float(v) for v in boxes[i])
         cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
         bw2, bh2 = (x2 - x1) * 0.5 * scale, (y2 - y1) * 0.5 * scale
-        ex1, ey1, ex2, ey2 = cx - bw2, cy - bh2, cx + bw2, cy + bh2
-        # integer anchor uses floor (int() truncates toward zero, which is
-        # wrong for negative expanded coords) and the destination window is
-        # derived from the SAME (anchor, size) pair so source/dest slices
-        # always agree in length (reference Masker paste_mask_in_image)
-        ix1, iy1 = int(np.floor(ex1)), int(np.floor(ey1))
-        tw = max(int(round(ex2 - ex1 + 1)), 1)
-        th = max(int(round(ey2 - ey1 + 1)), 1)
-        resized = np.asarray(
-            Image.fromarray(padded).resize((tw, th), Image.BILINEAR)
-        )
+        # int() truncates toward zero — identical to the int32 cast
+        bx1, by1 = int(cx - bw2), int(cy - bh2)
+        bx2, by2 = int(cx + bw2), int(cy + bh2)
+        tw = max(bx2 - bx1 + 1, 1)
+        th = max(by2 - by1 + 1, 1)
+        resized = _bilinear_resize_np(padded, th, tw)
         bin_mask = resized > threshold
-        dx1, dy1 = max(ix1, 0), max(iy1, 0)
-        dx2, dy2 = min(ix1 + tw, w), min(iy1 + th, h)
+        dx1, dy1 = max(bx1, 0), max(by1, 0)
+        dx2, dy2 = min(bx2 + 1, w), min(by2 + 1, h)
         if dx2 > dx1 and dy2 > dy1:
             out[i, dy1:dy2, dx1:dx2] = bin_mask[
-                dy1 - iy1 : dy2 - iy1, dx1 - ix1 : dx2 - ix1
+                dy1 - by1 : dy2 - by1, dx1 - bx1 : dx2 - bx1
             ]
     return out
 
