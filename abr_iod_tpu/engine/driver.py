@@ -530,11 +530,14 @@ def run_test(cfg, params=None, logger=None, max_images=None):
             b = boxes[i][v] * np.array([sx, sy, sx, sy])
             pred = {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
             if det_kps is not None:
-                # decoded keypoints, rescaled to original coords like boxes
-                kp = np.asarray(det_kps[i])[v]
-                kp[..., 0] *= sx
-                kp[..., 1] *= sy
-                pred["keypoints"] = kp
+                # exact reference decode (cv2 upsample + sub-bin argmax)
+                # on the ORIGINAL-coordinate boxes, so the upsample grid
+                # matches the reference's Keypointer exactly
+                from ..models.keypoint_head import heatmaps_to_keypoints_np
+
+                pred["keypoints"] = heatmaps_to_keypoints_np(
+                    np.asarray(det_kps[i])[v], b
+                )
             predictions.append(pred)
             ground_truths.append(
                 {"boxes": rec["boxes"], "labels": rec["labels"],

@@ -260,17 +260,12 @@ def make_fpn_eval_step(model, cfg, canvas_hw):
             )[..., 0]
             return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
         if getattr(model, "keypoint_on", False):
-            from ..models.keypoint_head import heatmaps_to_keypoints
-
+            # raw heatmaps; the host decodes exactly (same contract as
+            # the C4 eval step — heatmaps_to_keypoints_np in the driver)
             kp_logits = model.apply(
                 params, pyramid, dets.boxes, method="keypoint_heads"
             )
-            b, d = kp_logits.shape[:2]
-            kps = heatmaps_to_keypoints(
-                kp_logits.reshape((b * d,) + kp_logits.shape[2:]),
-                dets.boxes.reshape(b * d, 4),
-            )
-            return dets, kps.reshape(b, d, -1, 3)
+            return dets, kp_logits
         return dets
 
     return eval_step, None

@@ -80,19 +80,13 @@ def make_eval_step(model, cfg, canvas_hw, stride: int = 16):
             )[..., 0]
             return dets, jax.nn.sigmoid(per_class.astype(jnp.float32))
         if getattr(model, "keypoint_on", False):
-            # keypoint decode on the final detections (reference
-            # keypoint_head/inference.py heatmaps_to_keypoints)
-            from ..models.keypoint_head import heatmaps_to_keypoints
-
+            # raw per-detection heatmaps come back to the host, which
+            # decodes with the reference's exact cv2 upsample + sub-bin
+            # argmax (heatmaps_to_keypoints_np) in original coordinates
             kp_logits = model.apply(
                 params, features, dets.boxes, method="keypoint_heads"
-            )  # [B, D, H, H, K]
-            b, d = kp_logits.shape[:2]
-            kps = heatmaps_to_keypoints(
-                kp_logits.reshape((b * d,) + kp_logits.shape[2:]),
-                dets.boxes.reshape(b * d, 4),
-            )
-            return dets, kps.reshape(b, d, -1, 3)
+            )  # [B, D, Hm, Hm, K]
+            return dets, kp_logits
         return dets
 
     anchors = anchors_for_shape(cfg, canvas_hw[0], canvas_hw[1], stride)

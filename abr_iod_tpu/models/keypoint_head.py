@@ -82,9 +82,57 @@ def keypoint_rcnn_loss(kp_logits, rois, keypoints, roi_is_pos):
     return jnp.sum(jnp.where(valid, nll, 0.0)) / denom
 
 
+def heatmaps_to_keypoints_np(maps: "np.ndarray", rois: "np.ndarray"):
+    """EXACT host-side keypoint decode (reference keypoint_head/
+    inference.py:40-95, Detectron semantics): each RoI's [Hm, Hm, K]
+    heatmap is cv2-resized (INTER_CUBIC) to the box's integer
+    ceil(width) x ceil(height), the argmax is taken on the UPSAMPLED map
+    (sub-bin localization), positions map back through the Heckbert +0.5
+    convention, and the score is the RAW logit at the argmax.
+
+    maps [N, Hm, Hm, K] float32, rois [N, 4] (same coordinate frame the
+    keypoints should come out in — the driver passes original-image
+    boxes) → [N, K, 3] (x, y, logit)."""
+    import cv2
+    import numpy as np
+
+    n = maps.shape[0]
+    k = maps.shape[-1]
+    out = np.zeros((n, k, 3), np.float32)
+    if n == 0:
+        return out
+    widths = np.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    heights = np.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    widths_ceil = np.ceil(widths)
+    heights_ceil = np.ceil(heights)
+    for i in range(n):
+        rw, rh = int(widths_ceil[i]), int(heights_ceil[i])
+        width_correction = widths[i] / rw
+        height_correction = heights[i] / rh
+        roi_map = cv2.resize(
+            np.ascontiguousarray(maps[i], np.float32), (rw, rh),
+            interpolation=cv2.INTER_CUBIC,
+        )
+        if roi_map.ndim == 2:  # cv2 squeezes K == 1
+            roi_map = roi_map[:, :, None]
+        roi_map = roi_map.transpose(2, 0, 1)  # [K, rh, rw]
+        w = roi_map.shape[2]
+        pos = roi_map.reshape(k, -1).argmax(axis=1)
+        x_int = pos % w
+        y_int = (pos - x_int) // w
+        out[i, :, 0] = (x_int + 0.5) * width_correction + rois[i, 0]
+        out[i, :, 1] = (y_int + 0.5) * height_correction + rois[i, 1]
+        out[i, :, 2] = roi_map[np.arange(k), y_int, x_int]
+    return out
+
+
 def heatmaps_to_keypoints(kp_logits, rois):
     """[N, H, H, K], [N, 4] → keypoints [N, K, 3] (x, y, score) in image
-    coordinates (reference keypoint_head/inference.py)."""
+    coordinates — the in-jit STATIC-SHAPE variant: bin-center argmax on
+    the raw heatmap with a softmax score.  The eval pipeline instead
+    returns raw heatmaps and decodes host-side with
+    heatmaps_to_keypoints_np (the reference's exact cv2 upsample +
+    sub-bin argmax, keypoint_head/inference.py:40-95)."""
     n, h, _, k = kp_logits.shape
     flat = kp_logits.reshape(n, h * h, k)
     idx = jnp.argmax(flat, axis=1)  # [N, K]

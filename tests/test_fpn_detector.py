@@ -253,9 +253,17 @@ def test_fpn_keypoint_variant_trains_and_evals():
     assert "loss_kp" in metrics and np.isfinite(float(metrics["loss_kp"]))
 
     eval_step, _ = make_eval_step(model, cfg, CANVAS)
-    dets, kp_out = eval_step(params, px, jnp.asarray([list(CANVAS)], jnp.int32))
-    assert kp_out.shape[2:] == (17, 3)
-    assert np.isfinite(np.asarray(kp_out)).all()
+    dets, kp_maps = eval_step(params, px, jnp.asarray([list(CANVAS)], jnp.int32))
+    # raw per-detection heatmaps (host decodes exactly, like the C4 path)
+    assert kp_maps.shape[:2] == dets.boxes.shape[:2]
+    assert kp_maps.shape[-1] == 17
+    assert np.isfinite(np.asarray(kp_maps)).all()
+    from abr_iod_tpu.models.keypoint_head import heatmaps_to_keypoints_np
+
+    d = kp_maps.shape[1]
+    kps = heatmaps_to_keypoints_np(
+        np.asarray(kp_maps[0]), np.asarray(dets.boxes[0]))
+    assert kps.shape == (d, 17, 3)
 
 
 @pytest.mark.slow

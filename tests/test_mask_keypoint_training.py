@@ -269,15 +269,19 @@ def test_keypoint_eval_decodes_keypoints(rng):
         jax.random.PRNGKey(0), pixels, jnp.zeros((1, 4, 4)) + 16.0
     )
     eval_step, _ = make_eval_step(model, cfg, canvas)
-    dets, kps = eval_step(
+    dets, kp_maps = eval_step(
         params, pixels, jnp.asarray(np.array([[64, 96]], np.int32))
     )
-    assert kps.shape[:2] == dets.boxes.shape[:2]
-    assert kps.shape[-1] == 3  # (x, y, score)
+    # eval step returns RAW per-detection heatmaps; the host decodes with
+    # the reference's exact cv2 upsample + sub-bin argmax
+    assert kp_maps.shape[:2] == dets.boxes.shape[:2]
     v = np.asarray(dets.valid[0])
     if v.any():
-        k = np.asarray(kps[0])[v]
+        from abr_iod_tpu.models.keypoint_head import heatmaps_to_keypoints_np
+
         b = np.asarray(dets.boxes[0])[v]
+        k = heatmaps_to_keypoints_np(np.asarray(kp_maps[0])[v], b)
+        assert k.shape[-1] == 3  # (x, y, logit)
         # decoded keypoints land inside their detection boxes
         assert (k[..., 0] >= b[:, None, 0] - 1).all()
         assert (k[..., 0] <= b[:, None, 2] + 1).all()
