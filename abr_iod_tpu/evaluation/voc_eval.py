@@ -16,14 +16,18 @@ import numpy as np
 
 
 def _iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """IoU with the +1 convention on already +1-adjusted maxima
-    (i.e. plain half-open boxes after the caller's `[:, 2:] += 1`)."""
+    """boxlist_iou restated (boxlist_ops.py:53-97, TO_REMOVE=1) — the
+    reference's voc_eval feeds it boxes whose maxima were ALREADY
+    incremented (`[:, 2:] += 1`, voc_eval.py:121-124), so widths become
+    (x2 - x1 + 2): a double-+1 quirk of the reference adaptation that
+    this restatement reproduces exactly (chainercv's original uses a
+    single +1; near-threshold matches can differ)."""
     tl = np.maximum(a[:, None, :2], b[None, :, :2])
     br = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.clip(br - tl, 0, None)
+    wh = np.clip(br - tl + 1.0, 0, None)
     inter = wh[..., 0] * wh[..., 1]
-    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
-    area_b = np.prod(b[:, 2:] - b[:, :2], axis=1)
+    area_a = np.prod(a[:, 2:] - a[:, :2] + 1.0, axis=1)
+    area_b = np.prod(b[:, 2:] - b[:, :2] + 1.0, axis=1)
     union = area_a[:, None] + area_b[None, :] - inter
     return inter / np.where(union > 0, union, 1.0)
 
