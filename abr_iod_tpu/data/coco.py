@@ -84,6 +84,7 @@ class COCODataSource:
 
         self.ids: List[int] = []
         self._filtered: Dict[int, List[dict]] = {}
+        self._crowds: Dict[int, List[dict]] = {}
         for img_id in sorted(self.images.keys()):
             anno = [a for a in anns_by_img.get(img_id, []) if not a.get("iscrowd", 0)]
             if not anno:
@@ -96,6 +97,18 @@ class COCODataSource:
                 continue
             self.ids.append(img_id)
             self._filtered[img_id] = kept
+            if not is_train:
+                # crowd regions of evaluated categories stay visible to the
+                # eval protocol as ignore regions (the reference evaluates
+                # through pycocotools on the FULL gt json, where iscrowd
+                # annotations are never positives but absorb detections —
+                # cocoeval.py evaluateImg; training filters them like the
+                # reference's __getitem__, coco.py:227)
+                self._crowds[img_id] = [
+                    a for a in anns_by_img.get(img_id, [])
+                    if a.get("iscrowd", 0)
+                    and a["category_id"] in self.included_ids
+                ]
 
     def __len__(self):
         return len(self.ids)
@@ -106,16 +119,26 @@ class COCODataSource:
     def annotation(self, index: int) -> Dict:
         img_id = self.ids[index]
         info = self.images[img_id]
-        boxes, labels = [], []
+        boxes, labels, crowd, areas = [], [], [], []
         for a in self._filtered[img_id]:
             x, y, w, h = a["bbox"]
             boxes.append([x, y, x + w, y + h])  # xywh → xyxy
             labels.append(self._label_of[a["category_id"]])
+            crowd.append(False)
+            areas.append(float(a.get("area", w * h)))
+        for a in self._crowds.get(img_id, ()):
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            labels.append(self._label_of[a["category_id"]])
+            crowd.append(True)
+            areas.append(float(a.get("area", w * h)))
         return {
             "img_id": str(img_id),
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int32),
             "difficult": np.zeros(len(labels), bool),
+            "iscrowd": np.asarray(crowd, bool),
+            "areas": np.asarray(areas, np.float64),
             "height": int(info["height"]),
             "width": int(info["width"]),
         }

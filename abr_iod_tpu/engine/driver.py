@@ -539,10 +539,15 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                     np.asarray(det_kps[i])[v], b
                 )
             predictions.append(pred)
-            ground_truths.append(
-                {"boxes": rec["boxes"], "labels": rec["labels"],
-                 "difficult": rec["difficult"]}
-            )
+            gt_rec = {"boxes": rec["boxes"], "labels": rec["labels"],
+                      "difficult": rec["difficult"]}
+            if "iscrowd" in rec:
+                # crowd ignore regions for the COCO protocol
+                gt_rec["iscrowd"] = rec["iscrowd"]
+            if "areas" in rec:
+                # json segmentation areas for the S/M/L buckets
+                gt_rec["areas"] = rec["areas"]
+            ground_truths.append(gt_rec)
             if mask_on and rec.get("masks") is not None:
                 from ..structures.masks import paste_masks_in_image
 

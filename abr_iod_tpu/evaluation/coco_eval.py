@@ -35,7 +35,10 @@ AREA_RANGES = {
 }
 
 
-def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _iou_xyxy(a: np.ndarray, b: np.ndarray, crowd_b=None) -> np.ndarray:
+    """pycocotools maskUtils.iou semantics: for a crowd gt column the
+    union is the DETECTION's area (a det fully inside a crowd region has
+    IoU 1 regardless of the crowd's size)."""
     tl = np.maximum(a[:, None, :2], b[None, :, :2])
     br = np.minimum(a[:, None, 2:], b[None, :, 2:])
     wh = np.clip(br - tl, 0, None)
@@ -43,6 +46,8 @@ def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), axis=1)
     area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), axis=1)
     union = area_a[:, None] + area_b[None, :] - inter
+    if crowd_b is not None and np.any(crowd_b):
+        union = np.where(crowd_b[None, :], area_a[:, None], union)
     return inter / np.where(union > 0, union, 1.0)
 
 
@@ -50,7 +55,8 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
     return np.prod(np.clip(boxes[:, 2:4] - boxes[:, :2], 0, None), axis=1)
 
 
-def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None):
+def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None,
+                 gt_crowd=None, gt_areas=None):
     """Greedy COCOeval matching for one image and one class, all IoU
     thresholds at once (the per-det loop is the only python loop —
     gt candidates and thresholds are vectorized).
@@ -58,17 +64,23 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None):
     pred: [D, 5] (x1,y1,x2,y2,score) score-sorted desc; gt: [G, 4];
     iou_full: optional precomputed IoU [len(pred), G] in the ORIGINAL
     det/gt order (computed once per (image, class) and reused across
-    area ranges, like pycocotools' computeIoU cache).
+    area ranges, like pycocotools' computeIoU cache); gt_crowd [G] bool —
+    crowd regions are always-ignored AND may match multiple detections
+    (COCOeval evaluateImg: `gtm > 0 and not iscrowd -> continue`).
     Returns (scores [D], tp [T, D], ignore [T, D], n_gt_considered).
     """
     lo, hi = area_rng
     T = len(IOU_THRESHOLDS)
-    gt_area = _box_area(gt)
-    gt_ig = (gt_area < lo) | (gt_area > hi)
+    # the json 'area' (segmentation area) buckets gts when provided —
+    # pycocotools uses g['area'], not the bbox area
+    gt_area = _box_area(gt) if gt_areas is None else np.asarray(gt_areas)
+    if gt_crowd is None:
+        gt_crowd = np.zeros(len(gt), bool)
+    gt_ig = gt_crowd | (gt_area < lo) | (gt_area > hi)
     # non-ignored gts first (COCOeval sorts by _ignore): the matcher
     # prefers any qualifying non-ignored gt over ignored ones
     order_g = np.argsort(gt_ig, kind="stable")
-    gt, gt_ig = gt[order_g], gt_ig[order_g]
+    gt, gt_ig, gt_crowd = gt[order_g], gt_ig[order_g], np.asarray(gt_crowd)[order_g]
     npig = int((~gt_ig).sum())
 
     p = pred[:max_dets]
@@ -79,7 +91,7 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None):
     if iou_full is not None:
         iou = iou_full[:max_dets][:, order_g] if G else np.zeros((D, 0))
     else:
-        iou = _iou_xyxy(p[:, :4], gt) if G else np.zeros((D, 0))
+        iou = _iou_xyxy(p[:, :4], gt, gt_crowd) if G else np.zeros((D, 0))
     thr = IOU_THRESHOLDS[:, None]  # [T, 1]
 
     matched = np.zeros((T, G), bool)
@@ -97,7 +109,9 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None):
         j = vals.argmax(axis=1)
         ok = vals[t_idx, j] >= 0
         match_j[ok, i] = j[ok]
-        matched[t_idx[ok], j[ok]] = True
+        # crowd gts stay available for further detections
+        ok_nc = ok & ~gt_crowd[j]
+        matched[t_idx[ok_nc], j[ok_nc]] = True
 
     det_out = (_box_area(p) < lo) | (_box_area(p) > hi)  # [D]
     has_m = match_j >= 0
@@ -149,9 +163,13 @@ def _accumulate(per_image, npig, max_dets: int):
 def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
                         max_dets: int = 100) -> Dict:
     """predictions[i]: {'boxes','labels','scores'};
-    ground_truths[i]: {'boxes','labels'}.  Returns the full COCO metric
-    suite (AP/AP50/AP75/APs/APm/APl, AR1/AR10/AR100/ARs/ARm/ARl) and
-    per-class AP."""
+    ground_truths[i]: {'boxes','labels', optional 'iscrowd', optional
+    'areas'} — crowd gts are ignore regions per the pycocotools protocol
+    (det-area IoU, multi-match, never counted as positives); 'areas'
+    carries the json segmentation areas for S/M/L bucketing (bbox area
+    otherwise).  Returns the full COCO
+    metric suite (AP/AP50/AP75/APs/APm/APl, AR1/AR10/AR100/ARs/ARm/ARl)
+    and per-class AP."""
     labels_all = set()
     for gt in ground_truths:
         labels_all.update(np.unique(gt["labels"]).tolist())
@@ -162,7 +180,7 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
     recalls = {k: [] for k in ("AR1", "AR10", "AR100", "ARs", "ARm", "ARl")}
 
     for l in labels_all:
-        preds, gts, ious = [], [], []
+        preds, gts, crowds, gareas, ious = [], [], [], [], []
         for pred, gt in zip(predictions, ground_truths):
             pm = pred["labels"] == l
             p = (np.concatenate(
@@ -170,17 +188,26 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
                  if pm.any() else np.zeros((0, 5)))
             p = p[np.argsort(-p[:, 4], kind="stable")]
             preds.append(p)
-            g = gt["boxes"][gt["labels"] == l]
+            gm = gt["labels"] == l
+            g = gt["boxes"][gm]
+            crowd = np.asarray(
+                gt.get("iscrowd", np.zeros(len(gt["labels"]), bool))
+            )[gm].astype(bool)
+            ga = (np.asarray(gt["areas"], np.float64)[gm]
+                  if "areas" in gt else None)
             gts.append(g)
+            crowds.append(crowd)
+            gareas.append(ga)
             # IoU once per (image, class), reused across area ranges
             # (pycocotools computeIoU cache)
-            ious.append(_iou_xyxy(p[:, :4], g)
+            ious.append(_iou_xyxy(p[:, :4], g, crowd)
                         if len(p) and len(g) else np.zeros((len(p), len(g))))
 
         for area, rng in AREA_RANGES.items():
             per_image, npig = [], 0
-            for p, g, iou in zip(preds, gts, ious):
-                s, tp, ig, n = _match_image(p, g, rng, max_dets, iou_full=iou)
+            for p, g, crowd, ga, iou in zip(preds, gts, crowds, gareas, ious):
+                s, tp, ig, n = _match_image(p, g, rng, max_dets, iou_full=iou,
+                                            gt_crowd=crowd, gt_areas=ga)
                 per_image.append((s, tp, ig))
                 npig += n
             ap, rec = _accumulate(per_image, npig, max_dets)
