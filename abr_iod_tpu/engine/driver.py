@@ -561,10 +561,12 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                     ),
                     "labels": labels[i][v],
                     "scores": scores[i][v],
+                    "boxes": b,  # the instance protocol's box AP side
                 })
                 seg_ground_truths.append(
                     {"masks": np.asarray(rec["masks"], bool),
-                     "labels": rec["labels"]}
+                     "labels": rec["labels"],
+                     "boxes": rec["boxes"]}
                 )
         n_done += n_valid
         if max_images and n_done >= max_images:
@@ -616,7 +618,12 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         from ..evaluation.voc_eval_inst import eval_instance_seg_voc
 
         seg_result = eval_instance_seg_voc(seg_predictions, seg_ground_truths)
-        logger.info(f"instance-seg mAP={seg_result['map']:.4f}")
+        logger.info(
+            f"instance-seg mAP IS={seg_result['map']:.4f} "
+            f"(@.5={seg_result['map50']:.4f})"
+            + (f"  mAP OD={seg_result['map_box']:.4f}"
+               if "map_box" in seg_result else "")
+        )
         result["segm"] = seg_result
     dt = time.time() - t0
     logger.info(
