@@ -8,8 +8,10 @@ family completeness).
     + 2x bilinear upsample → per-keypoint heatmaps
   * loss (loss.py:54-172): softmax cross-entropy over the flattened
     heatmap at each visible keypoint's discretized location
-  * heatmaps_to_keypoints (inference.py): argmax per heatmap → image
-    coordinates + score
+  * heatmaps_to_keypoints_np (inference.py:40-95): the EXACT host-side
+    decode — cv2 INTER_CUBIC upsample to the box size, sub-bin argmax,
+    raw-logit score (used by the driver's eval path);
+    heatmaps_to_keypoints is the in-jit static-shape approximation
 """
 
 from __future__ import annotations
