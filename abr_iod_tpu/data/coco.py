@@ -86,28 +86,32 @@ class COCODataSource:
         self._filtered: Dict[int, List[dict]] = {}
         self._crowds: Dict[int, List[dict]] = {}
         for img_id in sorted(self.images.keys()):
-            anno = [a for a in anns_by_img.get(img_id, []) if not a.get("iscrowd", 0)]
+            # image selection runs over ALL annotations INCLUDING crowds,
+            # exactly like the reference (coco.py:197-207 loads with
+            # iscrowd=None for has_valid_annotation and the class checks);
+            # crowds are filtered from the usable targets only afterwards
+            # (__getitem__, coco.py:227)
+            anno = anns_by_img.get(img_id, [])
             if not anno:
                 continue
             # drop all-degenerate-box images (has_valid_annotation)
             if all(any(o <= 1 for o in a["bbox"][2:]) for a in anno):
                 continue
-            kept = [a for a in anno if a["category_id"] in self.included_ids]
-            if not kept:
+            kept_all = [a for a in anno if a["category_id"] in self.included_ids]
+            if not kept_all:
                 continue
             self.ids.append(img_id)
-            self._filtered[img_id] = kept
+            self._filtered[img_id] = [
+                a for a in kept_all if not a.get("iscrowd", 0)
+            ]
             if not is_train:
                 # crowd regions of evaluated categories stay visible to the
                 # eval protocol as ignore regions (the reference evaluates
                 # through pycocotools on the FULL gt json, where iscrowd
                 # annotations are never positives but absorb detections —
-                # cocoeval.py evaluateImg; training filters them like the
-                # reference's __getitem__, coco.py:227)
+                # cocoeval.py evaluateImg)
                 self._crowds[img_id] = [
-                    a for a in anns_by_img.get(img_id, [])
-                    if a.get("iscrowd", 0)
-                    and a["category_id"] in self.included_ids
+                    a for a in kept_all if a.get("iscrowd", 0)
                 ]
 
     def __len__(self):

@@ -521,6 +521,10 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         scores = np.asarray(dets.scores)
         labels = np.asarray(dets.labels)
         valid = np.asarray(dets.valid)
+        # one device→host transfer for the whole batch of heatmaps (they
+        # are ~1000x larger than decoded keypoints; per-image np.asarray
+        # would pay the tunnel round-trip per image)
+        kp_maps_host = np.asarray(det_kps) if det_kps is not None else None
         for i in range(n_valid):
             rec = records[i]
             nh, nw = batch.sizes[i]
@@ -531,13 +535,16 @@ def run_test(cfg, params=None, logger=None, max_images=None):
             pred = {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
             if det_kps is not None:
                 # exact reference decode (cv2 upsample + sub-bin argmax)
-                # on the ORIGINAL-coordinate boxes, so the upsample grid
-                # matches the reference's Keypointer exactly
+                # on the NETWORK-frame boxes — the reference's Keypointer
+                # runs BEFORE the BoxList resize (so the cv2 grid uses the
+                # resized-image box size) and only the decoded x/y are
+                # then linearly rescaled (structures/keypoint.py resize)
                 from ..models.keypoint_head import heatmaps_to_keypoints_np
 
-                pred["keypoints"] = heatmaps_to_keypoints_np(
-                    np.asarray(det_kps[i])[v], b
-                )
+                kp = heatmaps_to_keypoints_np(kp_maps_host[i][v], boxes[i][v])
+                kp[..., 0] *= sx
+                kp[..., 1] *= sy
+                pred["keypoints"] = kp
             predictions.append(pred)
             gt_rec = {"boxes": rec["boxes"], "labels": rec["labels"],
                       "difficult": rec["difficult"]}
@@ -612,15 +619,27 @@ def run_test(cfg, params=None, logger=None, max_images=None):
             ap[l] = v
         result = {"map": coco["AP50"], "ap": ap, "coco": coco}
     else:
-        result = eval_detection_voc(predictions, ground_truths)
+        # the VOC protocol has no ignore-region concept: crowd entries
+        # (present when a COCODataset rides in a mixed TEST tuple) must
+        # not count as mandatory positives
+        def _drop_crowd(g):
+            if "iscrowd" not in g or not np.any(g["iscrowd"]):
+                return g
+            keep = ~np.asarray(g["iscrowd"], bool)
+            return {"boxes": g["boxes"][keep], "labels": g["labels"][keep],
+                    "difficult": g["difficult"][keep]}
+
+        result = eval_detection_voc(
+            predictions, [_drop_crowd(g) for g in ground_truths])
     if seg_predictions:
         # instance-seg AP alongside box AP (reference voc_eval_inst)
         from ..evaluation.voc_eval_inst import eval_instance_seg_voc
 
         seg_result = eval_instance_seg_voc(seg_predictions, seg_ground_truths)
         logger.info(
-            f"instance-seg mAP IS={seg_result['map']:.4f} "
-            f"(@.5={seg_result['map50']:.4f})"
+            f"instance-seg mAP IS={seg_result['map']:.4f}"
+            + (f" (@.5={seg_result['map50']:.4f})"
+               if "map50" in seg_result else "")
             + (f"  mAP OD={seg_result['map_box']:.4f}"
                if "map_box" in seg_result else "")
         )

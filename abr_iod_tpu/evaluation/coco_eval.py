@@ -106,7 +106,10 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None,
         use_ni = cand_ni.any(axis=1)
         pool = np.where(use_ni[:, None], cand_ni, cand)
         vals = np.where(pool, iou[i][None, :], -1.0)
-        j = vals.argmax(axis=1)
+        # pycocotools keeps the LAST gt among equal-IoU candidates (its
+        # scan replaces the best on `>=`); argmax takes the first, so
+        # argmax over the reversed axis
+        j = G - 1 - vals[:, ::-1].argmax(axis=1)
         ok = vals[t_idx, j] >= 0
         match_j[ok, i] = j[ok]
         # crowd gts stay available for further detections

@@ -63,7 +63,7 @@ def _ap_at(per_class_entries, n_pos, thresh: float, which: str):
                 match[l].extend([0] * len(ps))
                 continue
             iou = iou_m if which == "mask" else iou_b
-            match[l].extend(_greedy_match(iou.copy(), thresh, g))
+            match[l].extend(_greedy_match(iou, thresh, g))
     n_fg_class = max(n_pos.keys()) + 1 if n_pos else 0
     prec = [None] * n_fg_class
     rec = [None] * n_fg_class
@@ -131,8 +131,10 @@ def eval_instance_seg_voc(predictions: List[Dict], ground_truths: List[Dict],
     out = {
         "ap": np.nanmean(ap_stack, axis=0),
         "map": float(np.nanmean(ap_stack)) if ap_stack.size else float("nan"),
-        "map50": float(np.nanmean(ap_stack[0])) if ap_stack.size else float("nan"),
     }
+    # only report a '@.5' number when 0.5 is actually the first threshold
+    if ap_stack.size and abs(float(thresholds[0]) - 0.5) < 1e-9:
+        out["map50"] = float(np.nanmean(ap_stack[0]))
     if have_boxes:
         box_stack = np.stack([_ap_at(per_class, n_pos, t, "box")
                               for t in thresholds])

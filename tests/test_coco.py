@@ -254,3 +254,37 @@ def test_coco_eval_scales_to_thousands_of_images():
     dt = time.time() - t0
     assert np.isfinite(res["AP"]) and 0 < res["AP"] <= 1
     assert dt < 60, f"COCO eval took {dt:.1f}s for 5k images"
+
+
+def test_crowd_only_image_kept_like_reference(tmp_path):
+    """Image selection runs over crowd-INCLUSIVE annotations (reference
+    coco.py:197-207 loads with iscrowd=None): an image whose only
+    included-category annotation is a crowd stays in the dataset — its
+    crowd region absorbs detections at eval instead of the image being
+    silently dropped."""
+    import json
+
+    from abr_iod_tpu.data.coco import COCODataSource
+
+    images = [{"id": 0, "file_name": "0.jpg", "height": 96, "width": 128}]
+    annotations = [{"id": 1, "image_id": 0, "category_id": 1, "iscrowd": 1,
+                    "bbox": [10, 10, 60, 40], "area": 2400}]
+    ann = tmp_path / "crowd_only.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"},
+                       {"id": 2, "name": "bicycle"}],
+    }))
+    src = COCODataSource(str(ann), str(tmp_path), is_train=False,
+                         num_old_categories=0, num_new_categories=2)
+    assert len(src) == 1
+    rec = src.annotation(0)
+    assert rec["iscrowd"].tolist() == [True]
+    assert rec["boxes"].shape == (1, 4)
+    # train mode also keeps the image (reference class checks include
+    # crowds) but exposes no usable targets
+    src_tr = COCODataSource(str(ann), str(tmp_path), is_train=True,
+                            num_old_categories=0, num_new_categories=2)
+    assert len(src_tr) == 1
+    rec_tr = src_tr.annotation(0)
+    assert rec_tr["boxes"].shape == (0, 4)

@@ -255,3 +255,42 @@ def test_crowd_region_absorbs_detections():
     gt2 = dict(gt, iscrowd=np.asarray([False, False]))
     out2 = eval_detection_coco([pred], [gt2])
     assert out2["AP50"] < 1.0, out2
+
+
+def test_tied_iou_prefers_the_last_gt_like_pycocotools():
+    """Exact-tie discrimination (cocoeval's scan replaces best on >=): det1
+    ties between gts A and B; det2 overlaps only A. Matching det1 to the
+    LAST tied gt (B) leaves A for det2 -> both TP; first-tie matching
+    would burn A on det1 and strand det2."""
+    gt = {"boxes": np.asarray([[0, 0, 40, 40], [20, 0, 60, 40]], np.float32),
+          "labels": np.asarray([1, 1])}
+    pred = {"boxes": np.asarray([[10, 0, 50, 40], [0, 0, 36, 40]], np.float32),
+            "labels": np.asarray([1, 1]),
+            "scores": np.asarray([0.9, 0.8], np.float32)}
+    got = eval_detection_coco([pred], [gt])
+    want = _ref_eval([pred], [gt])
+    np.testing.assert_allclose(got["AP50"], want["AP50"])
+    assert got["AP50"] == 1.0, got["AP50"]
+
+
+def test_coco_eval_differential_with_frequent_ties():
+    """Grid-snapped boxes produce many exact IoU ties (incl. duplicated
+    gts); the differential must still agree to 1e-9."""
+    for seed in range(3):
+        rng = np.random.RandomState(200 + seed)
+        preds, gts = _random_coco_dataset(rng, n_images=6, n_classes=3)
+        for d in preds + gts:
+            d["boxes"] = np.round(d["boxes"] / 16.0) * 16.0
+        for g in gts:  # duplicate one gt per image when present
+            if len(g["boxes"]):
+                for k in ("boxes", "labels", "iscrowd", "areas"):
+                    g[k] = np.concatenate([g[k], g[k][:1]])
+        want = _ref_eval(preds, gts)
+        got = eval_detection_coco(preds, gts)
+        for k in ("AP", "AP50", "AP75", "AR100"):
+            w = want[k]
+            if np.isnan(w):
+                assert np.isnan(got[k]), (seed, k)
+            else:
+                np.testing.assert_allclose(got[k], w, rtol=1e-9,
+                                           err_msg=f"seed {seed} {k}")
