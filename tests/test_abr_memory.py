@@ -96,6 +96,7 @@ def test_mem_mean_matches_reference_formula(tmp_path, voc_root, rng):
     assert kept == expected
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_pbs_extraction_filters_small_boxes(voc_root, tmp_path):
     cfg = _mem_cfg(tmp_path, [], VOC_CLASSES[:4])
     model = tiny_model(num_classes=5)

@@ -107,6 +107,7 @@ def test_check_expected_results_gate():
         check_expected_results(res, [("AP", 0.6, 0.01)], sigma_tol=4)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_run_test_dispatches_coco_protocol(tmp_path):
     """run_test on a COCODataset TEST entry scores with the COCO protocol
     (reference data/datasets/evaluation/__init__.py dispatch)."""
