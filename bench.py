@@ -247,6 +247,12 @@ def main():
         # benchmark — a float() fetch is a true round-trip
         float(metrics["loss"])
 
+        # BENCH_PROFILE=<dir>: capture a jax.profiler (xplane) trace of the
+        # timed loop; aggregate with tools/analyze_xplane.py
+        prof_dir = os.environ.get("BENCH_PROFILE")
+        if prof_dir:
+            jax.profiler.start_trace(prof_dir)
+
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = one_iter(state, warmup + i)
@@ -255,6 +261,8 @@ def main():
                       + str(float(metrics["distillation_loss"])), flush=True)
         float(metrics["loss"])  # true sync (see above)
         dt = time.perf_counter() - t0
+        if prof_dir:
+            jax.profiler.stop_trace()
 
     img_per_sec = batch * iters / dt
     per_chip = img_per_sec / n_devices
