@@ -180,11 +180,16 @@ def main():
             sz = shard_batch(mesh, jnp.asarray(eval_sz))
             dets = eval_step(student_params, px, sz)
             float(dets.scores[0, 0])  # true sync (see train loop note)
+            prof_dir = os.environ.get("BENCH_PROFILE")
+            if prof_dir:
+                jax.profiler.start_trace(prof_dir)
             t0 = time.perf_counter()
             for _ in range(iters):
                 dets = eval_step(student_params, px, sz)
             float(dets.scores[0, 0])
             dt = time.perf_counter() - t0
+            if prof_dir:
+                jax.profiler.stop_trace()
         per_chip = eval_batch * iters / dt / n_devices
         print(json.dumps({
             "metric": "voc_eval_inference_throughput",

@@ -202,6 +202,7 @@ def test_abr_fusion_mixup_blends_pixels(rng):
         assert set(extra.tolist()) <= {1, 2, 3}
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_make_abr_batch_fn_normalizes(rng, tmp_path, voc_root):
     cfg = _mem_cfg(tmp_path, [], VOC_CLASSES[:2], mem_type="random", mem_buff=4)
     mem_dir = str(tmp_path / "bank2")

@@ -76,6 +76,7 @@ def test_mixup_adds_at_most_two_crops(rng):
             assert 1 <= n <= 3  # original + ≤2 pasted crops
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_mosaic_boxes_have_bank_labels_and_min_size(rng):
     b, h, w, m = 48, 64, 96, 10
     pixels = jnp.zeros((b, h, w, 3))

@@ -97,6 +97,7 @@ def test_dcn_gradients_flow_to_offsets():
     assert got and max(got) > 0.0
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_gn_trans_func_variant():
     cfg = _tiny(get_default_config())
     cfg.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithGN"
@@ -138,6 +139,7 @@ def test_unknown_trans_func_rejected():
         build_detection_model(cfg)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_resnext_groups_and_stride_in_1x1_take_effect():
     """MODEL.RESNETS.NUM_GROUPS widens the bottleneck and groups conv2;
     STRIDE_IN_1X1=False moves the stage stride onto the 3x3 conv

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +49,7 @@ def test_faster_rcnn_mask_and_keypoint_variants():
     assert m.shape == (1, 2, 14, 14, 4)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_frozen_prefix_stop_gradient():
     """FREEZE_CONV_BODY_AT prefixes must (a) leave the forward untouched
     and (b) yield exactly-zero gradients for the frozen stem/layer params
@@ -113,6 +115,7 @@ def test_stem_space_to_depth_equivalence():
         )
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_rpn_only_meta_arch():
     """MODEL.RPN_ONLY builds a proposal-only network: no RoI-head params,
     RPN-only training losses, eval returns the proposals (reference
