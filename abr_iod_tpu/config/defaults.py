@@ -310,7 +310,11 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)
 _C.TPU.SCAN_BLOCKS = False  # lax.scan over identical residual blocks (smaller HLO, faster compile)
-_C.TPU.ROI_CHUNK = 512  # RoIAlign roi-chunking (512 = unchunked for the C4 head; best measured)
+_C.TPU.ROI_CHUNK = 1024  # RoIAlign roi-chunking cap: leaves both the train head
+# (512 RoIs) and the reference TEST statistics (1000 proposals) unchunked —
+# chunking the 1000-proposal eval pool into a lax.map loop round-trips the
+# [r,P,W,C] intermediate through HBM and measured -11% eval throughput
+# (84.5→94.6 img/s/chip @ batch 4, 96.2→108.0 @ batch 8; BASELINE.md)
 _C.TPU.SOFTEN_TOPK = 128  # teacher keeps top-128 proposals …
 _C.TPU.SOFTEN_KEEP = 64  # … and randomly retains 64 (generalized_rcnn.py:141-165)
 _C.TPU.MESH_DATA = -1  # -1: all devices on the data axis
