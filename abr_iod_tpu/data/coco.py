@@ -97,6 +97,12 @@ class COCODataSource:
             # drop all-degenerate-box images (has_valid_annotation)
             if all(any(o <= 1 for o in a["bbox"][2:]) for a in anno):
                 continue
+            # NOTE: unlike stock maskrcnn-benchmark (which keeps every
+            # test image), the ABR fork's test mode ALSO drops images
+            # with no seen-category annotation — test_class_data_check
+            # gates both modes (reference coco.py:153-169 applied at
+            # :203-207).  Matching that is deliberate: eval runs over
+            # the dataset's filtered id list.
             kept_all = [a for a in anno if a["category_id"] in self.included_ids]
             if not kept_all:
                 continue

@@ -26,6 +26,7 @@ from ..evaluation.voc_eval import eval_detection_voc
 from ..models.build import build_detection_model
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from ..solver.optim import make_optimizer
+from ..utils import comm
 from ..utils.checkpoint import Checkpointer, align_and_update_params
 from ..utils.logging import MetricLogger, ScalarWriter, setup_logger
 from .incremental import make_incremental_train_step, prefix_params_equal
@@ -115,6 +116,19 @@ def init_params(cfg, model, seed: Optional[int] = None):
     return jax.jit(model.init)(key, pixels, rois)
 
 
+def find_local_pretrained(wdir: Optional[str] = None) -> Optional[str]:
+    """Local pretrained-backbone file for catalog:// entries (zero-egress
+    substitute for the reference's Detectron S3 download,
+    utils/checkpoint.py:120-142).  Single source of truth for the
+    candidate names — __graft_entry__ and load_params both probe here."""
+    wdir = wdir or os.environ.get("ABR_IOD_WEIGHTS_DIR", "weights")
+    for cand in ("R-50.pkl", "resnet50.pth", "resnet50.pt"):
+        local = os.path.join(wdir, cand)
+        if os.path.exists(local):
+            return local
+    return None
+
+
 def _missing_weight_fallback(fresh, why: str, logger):
     """A configured-but-missing weight file is a recipe divergence (the run
     would silently train from random init and wreck mAP), so it is an error
@@ -143,16 +157,11 @@ def load_params(cfg, model, logger=None, weight_path: Optional[str] = None):
     log_fn = logger.info if logger else None
 
     if path.startswith("catalog://"):
-        # the reference resolves catalog:// → Detectron S3 download
-        # (utils/checkpoint.py:120-142); zero-egress here, so look for a
-        # local copy (R-50.pkl / resnet50.pth) under ABR_IOD_WEIGHTS_DIR
-        wdir = os.environ.get("ABR_IOD_WEIGHTS_DIR", "weights")
-        for cand in ("R-50.pkl", "resnet50.pth", "resnet50.pt"):
-            local = os.path.join(wdir, cand)
-            if os.path.exists(local):
-                path = local
-                break
+        local = find_local_pretrained()
+        if local is not None:
+            path = local
         else:
+            wdir = os.environ.get("ABR_IOD_WEIGHTS_DIR", "weights")
             return _missing_weight_fallback(
                 fresh, f"{path}: no local pretrained file under {wdir!r}", logger
             )
@@ -576,16 +585,20 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                      "boxes": rec["boxes"]}
                 )
         n_done += n_valid
-        if max_images and n_done >= max_images:
+        # max_images is a GLOBAL cap: each process stops at its share so
+        # a multi-process gather still evaluates ~max_images total
+        if max_images and n_done >= -(-max_images // comm.get_world_size()):
             break
     # multi-host eval: gather per-host predictions (the reference's
     # all_gather was defined but disabled, engine/inference.py:136-137)
-    from ..utils import comm
-
     if comm.get_world_size() > 1:
-        gathered = comm.all_gather_objects((predictions, ground_truths))
+        gathered = comm.all_gather_objects(
+            (predictions, ground_truths, seg_predictions, seg_ground_truths)
+        )
         predictions = [p for g in gathered for p in g[0]]
         ground_truths = [g_ for g in gathered for g_ in g[1]]
+        seg_predictions = [p for g in gathered for p in g[2]]
+        seg_ground_truths = [g_ for g in gathered for g_ in g[3]]
     # protocol dispatch like the reference's per-dataset evaluation
     # (data/datasets/evaluation/__init__.py): COCO-json datasets score
     # with the COCO protocol, everything else with VOC AP

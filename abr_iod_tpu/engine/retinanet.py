@@ -27,6 +27,12 @@ from .train import TrainState
 def retinanet_anchors_per_level(cfg, feat_shapes):
     """Per-level [N_l, 4] anchor arrays from the traced pyramid shapes."""
     r = cfg.MODEL.RETINANET
+    if not (len(feat_shapes) == len(r.ANCHOR_STRIDES) == len(r.ANCHOR_SIZES)):
+        raise ValueError(
+            f"RETINANET.ANCHOR_STRIDES/SIZES must match the pyramid: "
+            f"{len(feat_shapes)} levels vs strides {tuple(r.ANCHOR_STRIDES)} "
+            f"sizes {tuple(r.ANCHOR_SIZES)}"
+        )
     out = []
     for hw, stride, size in zip(
         feat_shapes, tuple(r.ANCHOR_STRIDES), tuple(r.ANCHOR_SIZES)

@@ -225,7 +225,7 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
             else:
                 short = {"small": "ARs", "medium": "ARm", "large": "ARl"}[area]
                 recalls[short].append(np.nanmean(rec))
-            area_aps[area].append(np.nanmean(ap))
+                area_aps[area].append(np.nanmean(ap))
 
     def avg(vals):
         vals = [v for v in vals if not np.isnan(v)]

@@ -48,10 +48,14 @@ class Checkpointer:
 
         Multi-process: only process 0 touches disk (the reference's
         ``save_to_disk = get_rank() == 0``, utils/checkpoint.py:13-30);
-        all processes return the would-be path."""
+        all processes barrier before returning the path so a follow-up
+        load on any rank sees the completed file (assumes the reference's
+        shared-OUTPUT_DIR deployment; non-shared filesystems need an
+        external copy step, as they would with the reference)."""
         from . import comm
 
         if not comm.is_main_process():
+            comm.synchronize()
             return self._path(name)
         payload = {"params": state["params"]}
         if not trim:
@@ -70,6 +74,7 @@ class Checkpointer:
             # likewise only tags full saves)
             with open(os.path.join(self.output_dir, "last_checkpoint"), "w") as f:
                 f.write(path)
+        comm.synchronize()
         return path
 
     def has_checkpoint(self) -> bool:
