@@ -74,6 +74,13 @@ class DetectionLoader:
         self.mask_crop_size = (
             int(cfg.TPU.get("MASK_CROP_SIZE", 28)) if bool(cfg.MODEL.MASK_ON) else 0
         )
+        # DATALOADER.NUM_WORKERS (the reference's torch-DataLoader worker
+        # count, defaults.py:83) maps to a thread pool over per-image prep:
+        # PIL decode/resize release the GIL, and item RNGs are keyed by
+        # (seed, iter, global position), so worker count never changes the
+        # produced batches — only how fast the host keeps the device fed.
+        self.num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+        self._pool = None
         self._portrait_cache: dict = {}
 
     def __len__(self):
@@ -220,6 +227,18 @@ class DetectionLoader:
             out[i] = resized
         return out
 
+    def _load_many(self, idxs: List[int], rngs) -> list:
+        """Per-image prep for one batch, fanned over the worker pool.
+        executor.map preserves input order, so results are independent of
+        worker count/scheduling (each item's rng arrives pre-keyed)."""
+        if self.num_workers <= 1 or len(idxs) <= 1:
+            return [self._load_one(i, r) for i, r in zip(idxs, rngs)]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return list(self._pool.map(self._load_one, idxs, rngs))
+
     def _item_rng(self, it: int, local_pos: int) -> np.random.RandomState:
         """Augmentation RNG as a pure function of (seed, iteration, GLOBAL
         batch position).  A shared sequential RNG would consume differently
@@ -236,8 +255,9 @@ class DetectionLoader:
         """Yield Batch pytrees (numpy); records side-channel not included."""
         count = 0
         for it, idxs in enumerate(self._index_batches()):
-            loaded = [self._load_one(i, self._item_rng(it, p))
-                      for p, i in enumerate(idxs)]
+            loaded = self._load_many(
+                idxs, [self._item_rng(it, p) for p in range(len(idxs))]
+            )
             pixels, sizes, boxes, labels, masks = map(
                 np.stack, zip(*[l[:5] for l in loaded])
             )
@@ -282,10 +302,11 @@ class DetectionLoader:
         on-device fusion blends raw pixels first (see abr_fusion)."""
         assert not self.normalize, "construct with normalize=False for raw batches"
         for it, idxs in enumerate(self._index_batches()):
+            loaded = self._load_many(
+                idxs, [self._item_rng(it, p) for p in range(len(idxs))]
+            )
             items = []
-            for p, idx in enumerate(idxs):
-                canvas, size_hw, pb, pl, pm, rec, _ = self._load_one(
-                    idx, self._item_rng(it, p))
+            for canvas, size_hw, pb, pl, pm, rec, _ in loaded:
                 orig = np.array([rec["height"], rec["width"]], np.int32)
                 items.append((canvas, size_hw, orig, pb, pl, pm))
             yield tuple(map(np.stack, zip(*items)))
@@ -295,10 +316,9 @@ class DetectionLoader:
         per-image metadata needed by the evaluator.  Batches are
         orientation-grouped like training; each group's final batch is
         padded by repetition, with n_valid marking the real prefix."""
-        rng = np.random.RandomState(0)
         gbs = self.batch_size * self.num_shards
         self._last_flush_real = gbs
-        for idxs in self._index_batches():
+        for it, idxs in enumerate(self._index_batches()):
             # real items are a prefix of the GLOBAL batch (padding repeats
             # the trailing index); with contiguous block sharding this
             # shard's real count is its overlap with that prefix
@@ -308,7 +328,12 @@ class DetectionLoader:
                 real_global - self.shard_index * self.batch_size,
                 0, self.batch_size,
             ))
-            loaded = [self._load_one(i, rng) for i in idxs]
+            # test-time _load_one normally never draws (no jitter/flip/
+            # multi-scale), but keyed per-item rngs keep even unusual
+            # constructions deterministic under the worker pool
+            loaded = self._load_many(
+                idxs, [self._item_rng(it, p) for p in range(len(idxs))]
+            )
             pixels, sizes, boxes, labels, masks = map(
                 np.stack, zip(*[l[:5] for l in loaded])
             )

@@ -167,3 +167,25 @@ def test_paths_catalog_indirection(tmp_path, cfg):
     cfg.PATHS_CATALOG = str(cat)
     src = make_data_source(cfg, "my_voc", "train_new")
     assert len(src) == 0  # empty split resolved through the custom catalog
+
+
+def test_loader_worker_count_is_batch_invariant(cfg):
+    """DATALOADER.NUM_WORKERS fans per-image prep over a thread pool; the
+    produced batches must be bit-identical for any worker count (item
+    RNGs are keyed by (seed, iter, global position), executor.map
+    preserves order)."""
+    cfg2 = cfg.clone()
+    cfg.DATALOADER.NUM_WORKERS = 1
+    cfg2.DATALOADER.NUM_WORKERS = 4
+    # jitter + flip + multi-scale ON so the rng streams actually matter
+    for c in (cfg, cfg2):
+        c.INPUT.BRIGHTNESS = 0.3
+        c.INPUT.CONTRAST = 0.3
+        c.INPUT.MIN_SIZE_TRAIN = (80, 96)
+    a = list(make_data_loader(cfg, is_train=True).batches(max_batches=3))
+    b = list(make_data_loader(cfg2, is_train=True).batches(max_batches=3))
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba.pixels, bb.pixels)
+        np.testing.assert_array_equal(ba.gt_boxes, bb.gt_boxes)
+        np.testing.assert_array_equal(ba.gt_labels, bb.gt_labels)
+        np.testing.assert_array_equal(ba.gt_mask, bb.gt_mask)
