@@ -343,6 +343,9 @@ def make_abr_batch_fn(cfg, bank: CropBank):
     @jax.jit
     def fuse_impl(bank_arg, pixels, sizes, orig_sizes, gt_boxes, gt_labels,
                   gt_mask, key):
+        # the loader ships raw canvases as uint8 (4x less host→device
+        # traffic); blending happens in f32 either way
+        pixels = pixels.astype(jnp.float32)
         px, sz, bx, lb, mk = abr_fuse_batch(
             pixels, sizes, orig_sizes, gt_boxes, gt_labels, gt_mask,
             bank_arg, key, mosaic_side,

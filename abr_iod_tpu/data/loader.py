@@ -40,7 +40,9 @@ class DetectionLoader:
         max_gt: Optional[int] = None,
         canvas=None,
         seed: int = 0,
-        normalize: bool = True,
+        normalize=True,  # True: host f32 normalize | "device": uint8
+        #   canvas, caller normalizes on device (make_device_normalize)
+        #   | False: raw uint8 0-255 RGB for the on-device ABR fusion
         num_shards: int = 1,
         shard_index: int = 0,
         start_iter: int = 0,
@@ -179,14 +181,19 @@ class DetectionLoader:
         min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
                     if self.is_train and len(self.min_sizes) > 1
                     else self.min_size)
+        # the PIL resize output is uint8-exact (transforms.resize_to_canvas),
+        # so everything except the host-normalized mode ships byte canvases:
+        # 4x less host→device traffic; normalization (or ABR fusion, which
+        # normalizes itself) runs on device
+        canvas_dtype = np.float32 if self.normalize is True else np.uint8
         canvas, size_hw, boxes = T.resize_to_canvas(
             image, record["boxes"], min_size, self.max_size,
-            self.canvas_for(index),
+            self.canvas_for(index), dtype=canvas_dtype,
         )
         flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob
         if flipped:
             canvas, boxes = T.hflip(canvas, size_hw, boxes)
-        if self.normalize:
+        if self.normalize is True:
             canvas = T.normalize(
                 canvas, self.cfg.INPUT.PIXEL_MEAN, bool(self.cfg.INPUT.TO_BGR255)
             )
@@ -300,7 +307,8 @@ class DetectionLoader:
         """ABR path: yields (pixels_raw [B,H,W,3] RGB 0-255, sizes,
         orig_sizes, gt_boxes, gt_labels, gt_mask) with NO normalization —
         on-device fusion blends raw pixels first (see abr_fusion)."""
-        assert not self.normalize, "construct with normalize=False for raw batches"
+        assert self.normalize is False, (
+            "construct with normalize=False for raw batches")
         for it, idxs in enumerate(self._index_batches()):
             loaded = self._load_many(
                 idxs, [self._item_rng(it, p) for p in range(len(idxs))]

@@ -48,11 +48,17 @@ def resize_ratio(h: int, w: int, min_size: int, max_size: int,
 
 
 def resize_to_canvas(image: np.ndarray, boxes: np.ndarray, min_size: int,
-                     max_size: int, canvas_hw: Tuple[int, int]):
-    """Resize + zero-pad into the canvas. Returns (canvas_img float32,
-    resized (h, w), scaled boxes).  Target sizes follow the reference's
-    integer rule exactly; a result that exceeds the static canvas (only
-    possible with shrunken test canvases) is scaled down to fit."""
+                     max_size: int, canvas_hw: Tuple[int, int],
+                     dtype=np.float32):
+    """Resize + zero-pad into the canvas. Returns (canvas_img, resized
+    (h, w), scaled boxes).  Target sizes follow the reference's integer
+    rule exactly; a result that exceeds the static canvas (only possible
+    with shrunken test canvases) is scaled down to fit.
+
+    The PIL resize runs on uint8 pixels (exactly like the reference's
+    PIL-image transforms), so its output is uint8-exact: dtype=np.uint8
+    emits a byte canvas losslessly — 4x less host→device traffic, with
+    normalization moved onto the device (make_device_normalize)."""
     from PIL import Image
 
     h, w = image.shape[:2]
@@ -62,9 +68,9 @@ def resize_to_canvas(image: np.ndarray, boxes: np.ndarray, min_size: int,
         nh, nw = max(1, int(nh * r)), max(1, int(nw * r))
     resized = np.asarray(
         Image.fromarray(image.astype(np.uint8)).resize((nw, nh), Image.BILINEAR),
-        dtype=np.float32,
+        dtype=dtype,
     )
-    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), np.float32)
+    out = np.zeros((canvas_hw[0], canvas_hw[1], 3), dtype)
     out[:nh, :nw] = resized
     scaled = boxes.copy().astype(np.float32)
     if scaled.size:
@@ -93,6 +99,27 @@ def normalize(image_canvas: np.ndarray, pixel_mean, to_bgr255: bool = True):
     if to_bgr255:
         img = img[..., ::-1]
     return (img - np.asarray(pixel_mean, np.float32)).astype(np.float32)
+
+
+def make_device_normalize(pixel_mean, to_bgr255: bool = True):
+    """jit twin of `normalize` for uint8 canvases uploaded raw: the host
+    ships bytes (4x less host→device traffic than the normalized f32
+    canvas) and the device does uint8→f32 + BGR + mean-subtract — the
+    same f32 arithmetic on the same values, so results are bit-identical
+    to the host path (tests/test_data_eval.py pins it)."""
+    import jax
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+
+    @jax.jit
+    def fn(u8_canvas):
+        x = u8_canvas.astype(jnp.float32)
+        if to_bgr255:
+            x = x[..., ::-1]
+        return x - mean
+
+    return fn
 
 
 def color_jitter(image: np.ndarray, rng: np.random.RandomState,

@@ -129,6 +129,18 @@ def find_local_pretrained(wdir: Optional[str] = None) -> Optional[str]:
     return None
 
 
+def _device_normalize(cfg):
+    """Normalize-on-device fn for uint8 canvases (loaders constructed with
+    normalize="device"): the host ships bytes — 4x less host→device
+    traffic than normalized f32 — and this jit does uint8→f32 + BGR +
+    mean-subtract, bit-identical to the host transforms.normalize."""
+    from ..data.transforms import make_device_normalize
+
+    return make_device_normalize(
+        cfg.INPUT.PIXEL_MEAN, bool(cfg.INPUT.TO_BGR255)
+    )
+
+
 def _missing_weight_fallback(fresh, why: str, logger):
     """A configured-but-missing weight file is a recipe divergence (the run
     would silently train from random init and wreck mAP), so it is an error
@@ -293,9 +305,10 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
 
     source = make_data_source(cfg, cfg.DATASETS.TRAIN[0], "train_new")
     loader = DetectionLoader(
-        source, cfg, is_train=True, seed=int(cfg.SEED),
+        source, cfg, is_train=True, seed=int(cfg.SEED), normalize="device",
         **_shard_kwargs(int(cfg.SOLVER.IMS_PER_BATCH)),
     )
+    norm_px = _device_normalize(cfg)
     max_iter = int(max_iter_override or cfg.SOLVER.MAX_ITER)
     checkpoint_period = int(cfg.SOLVER.CHECKPOINT_PERIOD)
 
@@ -311,7 +324,9 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
         remaining = max(max_iter - start_iter, 0)
         for it, batch in enumerate(loader.prefetched(max_batches=remaining),
                                    start_iter + 1):
-            state, metrics = train_step(state, shard_batch(mesh, batch))
+            g = shard_batch(mesh, batch)
+            g = g._replace(pixels=norm_px(g.pixels))
+            state, metrics = train_step(state, g)
             _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -418,10 +433,13 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                 yield fuse(*[jnp.asarray(x) for x in raw], sub)
 
         batches = batch_iter()
+        norm_px = None  # the fused batch is already normalized on device
     else:
         loader = DetectionLoader(source, cfg_target, is_train=True,
-                                 seed=int(cfg_target.SEED), **shard_kw)
+                                 seed=int(cfg_target.SEED),
+                                 normalize="device", **shard_kw)
         batches = loader.prefetched(max_batches=max_iter)
+        norm_px = _device_normalize(cfg_target)
 
     with jax.sharding.set_mesh(mesh):
         teacher_params = shard_params(mesh, teacher_params)
@@ -449,7 +467,10 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         for it, batch in enumerate(batches, start_iter + 1):
             if it > max_iter:
                 break
-            state, metrics = step_fn(state, teacher_params, shard_batch(mesh, batch))
+            g = shard_batch(mesh, batch)
+            if norm_px is not None:
+                g = g._replace(pixels=norm_px(g.pixels))
+            state, metrics = step_fn(state, teacher_params, g)
             _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -507,8 +528,10 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         source = ConcatDataSource(sources)
     loader = DetectionLoader(
         source, cfg, is_train=False, canvas=canvas, flip=False,
+        normalize="device",
         **_shard_kwargs(int(cfg.TEST.IMS_PER_BATCH)),
     )
+    norm_px = _device_normalize(cfg)
 
     mask_on = bool(cfg.MODEL.MASK_ON)
     keypoint_on = bool(cfg.MODEL.KEYPOINT_ON)
@@ -517,7 +540,8 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     n_done = 0
     t0 = time.time()
     for batch, records, n_valid in loader.eval_batches():
-        out = eval_step(params, jnp.asarray(batch.pixels), jnp.asarray(batch.sizes))
+        out = eval_step(params, norm_px(jnp.asarray(batch.pixels)),
+                        jnp.asarray(batch.sizes))
         if mask_on:
             dets, mask_probs = out
             det_kps = None

@@ -44,9 +44,16 @@ def extract_bboxes_and_features(model, params, loader, cfg) -> List[List[dict]]:
     new_classes = tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES)
     run = make_feature_extract_fn(model)
 
+    from ..data.transforms import make_device_normalize
+
+    norm_px = make_device_normalize(
+        cfg.INPUT.PIXEL_MEAN, bool(cfg.INPUT.TO_BGR255)
+    )
     all_info: List[List[dict]] = [[] for _ in range(len(new_classes))]
     for batch, records, n_valid in loader.eval_batches():
-        logits, feats = run(params, batch.pixels, batch.gt_boxes)
+        px = (norm_px(batch.pixels) if batch.pixels.dtype == np.uint8
+              else batch.pixels)
+        logits, feats = run(params, px, batch.gt_boxes)
         logits = np.asarray(logits)
         feats = np.asarray(feats)
         for i in range(n_valid):

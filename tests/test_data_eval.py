@@ -181,3 +181,34 @@ def test_concat_data_source(voc_root):
     assert rec_a["img_id"] == a.annotation(0)["img_id"]
     assert rec_b["img_id"] == b.annotation(0)["img_id"]
     assert c.load_image(len(a)).shape[2] == 3
+
+
+def test_device_normalize_matches_host_normalize(voc_root):
+    """normalize="device" ships uint8 canvases and normalizes on device;
+    the result must be bit-identical to the host transforms.normalize
+    path (same f32 arithmetic on the same uint8-exact resize output)."""
+    import jax.numpy as jnp
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.data.loader import DetectionLoader
+    from abr_iod_tpu.data.transforms import make_device_normalize
+
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 160)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.INPUT.BRIGHTNESS = 0.2  # exercise the jitter path too
+    cfg.TPU.MAX_GT = 8
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    host = DetectionLoader(src, cfg, batch_size=2, is_train=True, seed=7)
+    dev = DetectionLoader(src, cfg, batch_size=2, is_train=True, seed=7,
+                          normalize="device")
+    norm = make_device_normalize(cfg.INPUT.PIXEL_MEAN,
+                                 bool(cfg.INPUT.TO_BGR255))
+    for bh, bd in zip(host.batches(max_batches=2), dev.batches(max_batches=2)):
+        assert bd.pixels.dtype == np.uint8
+        np.testing.assert_array_equal(
+            bh.pixels, np.asarray(norm(jnp.asarray(bd.pixels)))
+        )
+        np.testing.assert_array_equal(bh.gt_boxes, bd.gt_boxes)

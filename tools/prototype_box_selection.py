@@ -95,7 +95,7 @@ def main():
     source = make_data_source(cfg, cfg.DATASETS.TRAIN[0], "sample_new")
     loader = DetectionLoader(
         source, cfg, batch_size=int(cfg.TEST.IMS_PER_BATCH), is_train=False,
-        canvas=tuple(cfg.TPU.CANVAS_TEST), flip=False,
+        canvas=tuple(cfg.TPU.CANVAS_TEST), flip=False, normalize="device",
     )
     logger.info(f"extracting box features over {len(source)} images")
     info = extract_bboxes_and_features(model, params, loader, cfg)
