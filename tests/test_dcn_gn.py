@@ -110,6 +110,7 @@ def test_gn_trans_func_variant():
         assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_gn_params_are_trainable_not_frozen():
     """GN scale/bias must land in a trainable optimizer group — the
     frozen-BN mask keys off bn* names (solver/optim.py), and GN modules

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from abr_iod_tpu.models import FasterRCNN
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_faster_rcnn_forward_shapes():
     model = FasterRCNN(num_classes=5, num_anchors=3)
     pixels = jnp.zeros((1, 64, 96, 3))
@@ -32,6 +33,7 @@ def test_frozen_bn_identity_at_init():
     np.testing.assert_allclose(np.asarray(y), 3.0)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_faster_rcnn_mask_and_keypoint_variants():
     model = FasterRCNN(
         num_classes=4, num_anchors=3, backbone_stages=(1, 1, 1),

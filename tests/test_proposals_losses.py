@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -158,6 +159,7 @@ def test_inclusive_classification_loss_folds_old_classes():
     np.testing.assert_allclose(float(cls_id), np.mean(expect), rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_postprocess_with_background(rng):
     from abr_iod_tpu.models.postprocess import postprocess_with_background
 

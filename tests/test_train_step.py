@@ -65,6 +65,7 @@ def synth_batch(rng, b=8, max_gt=8):
     )
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_train_step_runs_and_updates(rng):
     cfg = tiny_cfg()
     model = tiny_model()
@@ -128,6 +129,7 @@ def test_eval_step_shapes(rng):
         assert (bx[:, 3] <= CANVAS[0] - 1 + 1e-3).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_external_proposal_training_path(rng):
     from abr_iod_tpu.engine.train import forward_with_external_proposals
 
