@@ -78,6 +78,7 @@ def setup():
     return cfg, model, params
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_fpn_detector_builds_and_runs(setup):
     cfg, model, params = setup
     px = jnp.zeros((1, *CANVAS, 3))

@@ -24,6 +24,7 @@ def _init_params(model, b=2):
     return model.init(jax.random.PRNGKey(0), pixels, rois)
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_head_growth_alignment():
     old_model = tiny_model(num_classes=3)
     new_model = tiny_model(num_classes=5)
@@ -84,6 +85,7 @@ def test_soften_proposals_shapes(rng):
     assert np.isfinite(np.asarray(t.scores)).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_incremental_step_with_all_distillation(rng):
     cfg = tiny_cfg()
     cfg.TPU.SOFTEN_TOPK = 16

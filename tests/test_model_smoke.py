@@ -169,6 +169,7 @@ def test_rpn_only_meta_arch():
     assert (np.asarray(dets.labels) == 0).all()
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
 def test_cls_agnostic_bbox_reg():
     """MODEL.CLS_AGNOSTIC_BBOX_REG shrinks bbox_pred to one shared (bg,fg)
     pair broadcast over classes (reference roi_box_predictors.py +
