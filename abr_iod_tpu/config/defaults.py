@@ -309,6 +309,13 @@ _C.TPU.APPROX_PRE_NMS_RECALL = -1.0
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)
+# NMS tile-sweep backend.  'pallas' (or 'auto': pallas on TPU, xla
+# elsewhere) runs ops/nms_pallas.py — 2.3x the XLA sweep in isolation at
+# the 12k-candidate pool with identical keep sets, but NEUTRAL on the
+# flagship train step and -2% on eval (BASELINE.md round 3: the XLA
+# while-loops overlap async HBM copies, so cutting them does not shorten
+# the critical path).  Default stays the XLA sweep.
+_C.TPU.NMS_BACKEND = "xla"
 _C.TPU.SCAN_BLOCKS = False  # lax.scan over identical residual blocks (smaller HLO, faster compile)
 _C.TPU.ROI_CHUNK = 1024  # RoIAlign roi-chunking cap: leaves both the train head
 # (512 RoIs) and the reference TEST statistics (1000 proposals) unchunked —

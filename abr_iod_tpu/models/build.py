@@ -37,6 +37,9 @@ def build_detection_model(cfg):
         raise ValueError(
             f"unknown META_ARCHITECTURE {cfg.MODEL.META_ARCHITECTURE!r}"
         )
+    from ..ops.nms import set_nms_backend
+
+    set_nms_backend(str(cfg.TPU.get("NMS_BACKEND", "auto")))
     if bool(cfg.MODEL.RETINANET_ON):
         # RETINANET_ON swaps the RPN+RoI stages for the single-stage
         # RetinaNet module (reference rpn/rpn.py build_rpn:157-160)

@@ -86,6 +86,8 @@ def main():
     cfg.SOLVER.BASE_LR = 0.002
     if os.environ.get("BENCH_PALLAS") == "1":
         cfg.TPU.USE_PALLAS_ROI_ALIGN = True
+    if os.environ.get("BENCH_NMS"):
+        cfg.TPU.NMS_BACKEND = os.environ["BENCH_NMS"]  # auto|pallas|xla
     if os.environ.get("BENCH_ROI_CHUNK"):
         cfg.TPU.ROI_CHUNK = int(os.environ["BENCH_ROI_CHUNK"])
     if os.environ.get("BENCH_SCAN") == "1":
