@@ -35,6 +35,17 @@ def main():
                         help="sampling phase flag (script compatibility)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--tpu-opts", nargs="*", default=None)
+    # parsed-but-unread flags of the reference parser (its main() never
+    # touches them — prototype_box_selection.py:316-392); tolerated so
+    # invocations written against the reference run unmodified
+    parser.add_argument("--skip-test", dest="skip_test", action="store_true")
+    parser.add_argument("--rpn", action="store_true")
+    parser.add_argument("--feat", default="no", type=str)
+    parser.add_argument("--uce", action="store_true")
+    parser.add_argument("--init", action="store_true")
+    parser.add_argument("--inv", action="store_true")
+    parser.add_argument("--mask", default=1.0, type=float)
+    parser.add_argument("--cls", default=1.0, type=float)
     args = parser.parse_args()
 
     from abr_iod_tpu.config import get_default_config

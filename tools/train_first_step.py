@@ -24,8 +24,17 @@ maybe_init_distributed()
 
 def main():
     parser = argparse.ArgumentParser(description="TPU Object Detection Training")
-    parser.add_argument("-c", "--config-file", required=True, metavar="FILE")
+    # both spellings: the reference parser uses --config_file
+    # (tools/train_first_step.py:163-168)
+    parser.add_argument(
+        "-c", "--config-file", "--config_file", dest="config_file",
+        required=True, metavar="FILE",
+    )
     parser.add_argument("--local_rank", type=int, default=0)  # accepted, unused
+    # run_JT.sh / run_firststep.sh pass -cvd to this tool; device selection
+    # is meaningless under SPMD (one process drives the whole mesh) but the
+    # shipped scripts must run unmodified
+    parser.add_argument("-cvd", "--cuda_visible_devices", default="", type=str)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--skip-test", dest="skip_test", action="store_true")
     parser.add_argument("-fb", "--freeze_backbone", action="store_true")
