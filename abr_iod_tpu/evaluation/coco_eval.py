@@ -55,8 +55,14 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
     return np.prod(np.clip(boxes[:, 2:4] - boxes[:, :2], 0, None), axis=1)
 
 
+def _gt_npig(gt_areas, gt_crowd, area_rng) -> int:
+    """Count of considered (non-ignored) gts — the no-detections fast path."""
+    lo, hi = area_rng
+    return int((~(gt_crowd | (gt_areas < lo) | (gt_areas > hi))).sum())
+
+
 def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None,
-                 gt_crowd=None, gt_areas=None):
+                 gt_crowd=None, gt_areas=None, det_areas=None):
     """Greedy COCOeval matching for one image and one class, all IoU
     thresholds at once (the per-det loop is the only python loop —
     gt candidates and thresholds are vectorized).
@@ -97,9 +103,12 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None,
     matched = np.zeros((T, G), bool)
     match_j = np.full((T, D), -1, np.int64)
     t_idx = np.arange(T)
-    for i in range(D):
-        if G == 0:
-            break
+    # only dets that clear the lowest threshold for SOME gt can ever
+    # match — the rest are unmatched at every threshold (pure FPs)
+    candidates = (
+        np.nonzero(iou.max(axis=1) >= IOU_THRESHOLDS[0])[0] if G else ()
+    )
+    for i in candidates:
         cand = (~matched) & (iou[i][None, :] >= thr)  # [T, G]
         # prefer non-ignored candidates; fall back to ignored ones
         cand_ni = cand & ~gt_ig[None, :]
@@ -116,7 +125,8 @@ def _match_image(pred, gt, area_rng, max_dets: int, iou_full=None,
         ok_nc = ok & ~gt_crowd[j]
         matched[t_idx[ok_nc], j[ok_nc]] = True
 
-    det_out = (_box_area(p) < lo) | (_box_area(p) > hi)  # [D]
+    p_area = _box_area(p) if det_areas is None else det_areas[:max_dets]
+    det_out = (p_area < lo) | (p_area > hi)  # [D]
     has_m = match_j >= 0
     matched_ig = np.zeros((T, D), bool)
     if G:
@@ -178,39 +188,62 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
         labels_all.update(np.unique(gt["labels"]).tolist())
     labels_all = sorted(int(l) for l in labels_all if l > 0)
 
+    # group detections/gts by label ONCE per image (the naive per-(class,
+    # image) masking re-scans every label array n_classes times — the
+    # dominant cost at COCO scale, 80 classes x 5k images)
+    def _group(labels):
+        order = np.argsort(labels, kind="stable")
+        uniq, starts = np.unique(labels[order], return_index=True)
+        splits = np.split(order, starts[1:])
+        return {int(u): s for u, s in zip(uniq, splits)}
+
+    pred_by_label, gt_by_label, gt_crowd_all, gt_area_all = [], [], [], []
+    for pred, gt in zip(predictions, ground_truths):
+        pred_by_label.append(_group(np.asarray(pred["labels"])))
+        gt_by_label.append(_group(np.asarray(gt["labels"])))
+        gt_crowd_all.append(np.asarray(
+            gt.get("iscrowd", np.zeros(len(gt["labels"]), bool))
+        ).astype(bool))
+        gt_area_all.append(
+            np.asarray(gt["areas"], np.float64) if "areas" in gt
+            else _box_area(np.asarray(gt["boxes"], np.float64))
+        )
+
     per_class_ap, per_class_ap50, per_class_ap75 = {}, {}, {}
     area_aps = {k: [] for k in AREA_RANGES}
     recalls = {k: [] for k in ("AR1", "AR10", "AR100", "ARs", "ARm", "ARl")}
 
     for l in labels_all:
-        preds, gts, crowds, gareas, ious = [], [], [], [], []
-        for pred, gt in zip(predictions, ground_truths):
-            pm = pred["labels"] == l
-            p = (np.concatenate(
-                    [pred["boxes"][pm], pred["scores"][pm, None]], axis=1)
-                 if pm.any() else np.zeros((0, 5)))
+        work = []  # images with detections of class l
+        gt_only = []  # images with only gts of class l (count npig, no match)
+        for i, (pred, gt) in enumerate(zip(predictions, ground_truths)):
+            pi = pred_by_label[i].get(l)
+            gi = gt_by_label[i].get(l)
+            if pi is None and gi is None:
+                continue  # contributes nothing at any area range
+            g = gt["boxes"][gi] if gi is not None else np.zeros((0, 4))
+            crowd = gt_crowd_all[i][gi] if gi is not None else np.zeros(0, bool)
+            ga = gt_area_all[i][gi] if gi is not None else np.zeros((0,))
+            if pi is None:
+                gt_only.append((ga, crowd))
+                continue
+            p = np.concatenate(
+                [pred["boxes"][pi], pred["scores"][pi, None]], axis=1
+            )
             p = p[np.argsort(-p[:, 4], kind="stable")]
-            preds.append(p)
-            gm = gt["labels"] == l
-            g = gt["boxes"][gm]
-            crowd = np.asarray(
-                gt.get("iscrowd", np.zeros(len(gt["labels"]), bool))
-            )[gm].astype(bool)
-            ga = (np.asarray(gt["areas"], np.float64)[gm]
-                  if "areas" in gt else None)
-            gts.append(g)
-            crowds.append(crowd)
-            gareas.append(ga)
-            # IoU once per (image, class), reused across area ranges
-            # (pycocotools computeIoU cache)
-            ious.append(_iou_xyxy(p[:, :4], g, crowd)
-                        if len(p) and len(g) else np.zeros((len(p), len(g))))
+            # IoU + det areas once per (image, class), reused across area
+            # ranges (pycocotools computeIoU cache)
+            iou = (_iou_xyxy(p[:, :4], g, crowd)
+                   if len(g) else np.zeros((len(p), 0)))
+            work.append((p, g, crowd, ga, _box_area(p), iou))
 
         for area, rng in AREA_RANGES.items():
-            per_image, npig = [], 0
-            for p, g, crowd, ga, iou in zip(preds, gts, crowds, gareas, ious):
+            per_image = []
+            npig = sum(_gt_npig(ga, crowd, rng) for ga, crowd in gt_only)
+            for p, g, crowd, ga, dareas, iou in work:
                 s, tp, ig, n = _match_image(p, g, rng, max_dets, iou_full=iou,
-                                            gt_crowd=crowd, gt_areas=ga)
+                                            gt_crowd=crowd, gt_areas=ga,
+                                            det_areas=dareas)
                 per_image.append((s, tp, ig))
                 npig += n
             ap, rec = _accumulate(per_image, npig, max_dets)
