@@ -306,6 +306,11 @@ _C.TPU.SHARE_FROZEN_PREFIX = True
 # -1 = auto: 0 (exact lax.top_k, reference parity) normally, 0.98 under
 # TPU.FAST_PROPOSALS.  Explicit values always win.
 _C.TPU.APPROX_PRE_NMS_RECALL = -1.0
+# write periodic checkpoints from a background IO worker so the train loop
+# never stalls on serialization/disk (utils/checkpoint.py; multi-process
+# runs fall back to synchronous saves to keep the post-save barrier exact;
+# all writes are atomic either way)
+_C.TPU.ASYNC_CHECKPOINT = True
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)

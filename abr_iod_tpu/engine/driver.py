@@ -299,7 +299,8 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
     params = load_params(cfg, model, logger)
 
     tx = make_optimizer(cfg, params)
-    checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+    checkpointer = Checkpointer(
+        cfg.OUTPUT_DIR, async_saves=bool(cfg.TPU.ASYNC_CHECKPOINT))
     writer = ScalarWriter(cfg.TENSORBOARD_DIR)
     canvas = tuple(cfg.TPU.CANVAS_TRAIN)
 
@@ -354,6 +355,7 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
                                       "opt_state": opt_final,
                                       "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
+    checkpointer.wait()  # all checkpoint IO on disk before we hand off
     logger.info(f"training done in {time.time() - t0:.1f}s")
     return params_final
 
@@ -373,7 +375,9 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
     student_params = load_params(cfg_target, model_student, logger)
 
     tx = make_optimizer(cfg_target, student_params)
-    checkpointer = Checkpointer(cfg_target.OUTPUT_DIR)
+    checkpointer = Checkpointer(
+        cfg_target.OUTPUT_DIR,
+        async_saves=bool(cfg_target.TPU.ASYNC_CHECKPOINT))
     writer = ScalarWriter(cfg_target.TENSORBOARD_DIR)
     canvas = tuple(cfg_target.TPU.CANVAS_TRAIN)
     n_old = len(tuple(cfg_target.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES))
@@ -492,6 +496,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                                       "opt_state": opt_final,
                                       "iteration": max_iter})
     checkpointer.save("model_trimmed", {"params": params_final}, trim=True)
+    checkpointer.wait()  # all checkpoint IO on disk before we hand off
     logger.info(f"incremental training done in {time.time() - t0:.1f}s")
     return params_final
 
