@@ -531,6 +531,8 @@ class FBNetRoIBoxHead(nn.Module):
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 0
     scale: float = 1.0
+    # TPU.ROI_ALIGN_PRECISION (same knob as the C4/FPN families)
+    roi_align_precision: str = "highest"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -545,6 +547,7 @@ class FBNetRoIBoxHead(nn.Module):
                 f, r, output_size=self.pooler_resolution,
                 spatial_scale=self.pooler_scale,
                 sampling_ratio=self.pooler_sampling_ratio,
+                precision=self.roi_align_precision,
             )
         )(features, rois)
         roi_feats = pool
@@ -579,6 +582,7 @@ class FBNetRoIMaskHead(nn.Module):
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 0
     scale: float = 1.0
+    roi_align_precision: str = "highest"
     predictor_name: str = "MaskRCNNC4Predictor"
     dtype: Any = jnp.float32
 
@@ -601,6 +605,7 @@ class FBNetRoIMaskHead(nn.Module):
                 f, r, output_size=self.pooler_resolution,
                 spatial_scale=self.pooler_scale,
                 sampling_ratio=self.pooler_sampling_ratio,
+                precision=self.roi_align_precision,
             )
         )(features, rois)
         x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
@@ -629,6 +634,7 @@ class FBNetFasterRCNN(nn.Module):
     mask_on: bool = False
     mask_pooler_resolution: int = 14
     mask_predictor_name: str = "MaskRCNNC4Predictor"
+    roi_align_precision: str = "highest"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -638,14 +644,16 @@ class FBNetFasterRCNN(nn.Module):
                                      num_anchors=self.num_anchors,
                                      scale=self.scale, dtype=self.dtype,
                                      name="rpn")
-        self.box_head = FBNetRoIBoxHead(num_classes=self.num_classes,
-                                        arch=self.arch, scale=self.scale,
-                                        dtype=self.dtype, name="roi_heads")
+        self.box_head = FBNetRoIBoxHead(
+            num_classes=self.num_classes, arch=self.arch, scale=self.scale,
+            roi_align_precision=self.roi_align_precision,
+            dtype=self.dtype, name="roi_heads")
         if self.mask_on:
             self.mask_head = FBNetRoIMaskHead(
                 num_classes=self.num_classes, arch=self.arch,
                 pooler_resolution=self.mask_pooler_resolution,
                 scale=self.scale, predictor_name=self.mask_predictor_name,
+                roi_align_precision=self.roi_align_precision,
                 dtype=self.dtype, name="mask_heads_mod",
             )
 
@@ -691,4 +699,5 @@ def build_fbnet_detector(cfg):
         mask_pooler_resolution=int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION),
         mask_predictor_name=str(cfg.MODEL.ROI_MASK_HEAD.get(
             "PREDICTOR", "MaskRCNNC4Predictor")),
+        roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
     )

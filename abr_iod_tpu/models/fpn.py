@@ -92,7 +92,7 @@ def fpn_level_mapper(rois: jnp.ndarray, k_min: int = 2, k_max: int = 5,
 
 def fpn_roi_align(features: Sequence[jnp.ndarray], rois: jnp.ndarray,
                   output_size: int = 7, scales=(0.25, 0.125, 0.0625, 0.03125),
-                  sampling_ratio: int = 2):
+                  sampling_ratio: int = 2, precision: str = "highest"):
     """Multi-level RoIAlign (reference: modeling/poolers.py Pooler for FPN):
     pool every RoI from every level, select by level assignment.  The
     selection is a static 4-way where — TPU-friendlier than per-level
@@ -103,7 +103,7 @@ def fpn_roi_align(features: Sequence[jnp.ndarray], rois: jnp.ndarray,
     lvl = fpn_level_mapper(rois)
     pooled = [
         roi_align(f, rois, output_size=output_size, spatial_scale=s,
-                  sampling_ratio=sampling_ratio)
+                  sampling_ratio=sampling_ratio, precision=precision)
         for f, s in zip(features, scales)
     ]
     out = pooled[0]

@@ -38,6 +38,9 @@ class FPNBoxHead(nn.Module):
     # MODEL.CLS_AGNOSTIC_BBOX_REG (reference roi_box_predictors.py
     # FPNPredictor: num_bbox_reg_classes = 2 when set)
     cls_agnostic_bbox_reg: bool = False
+    # TPU.ROI_ALIGN_PRECISION ('default' = bf16 MXU einsums, 'highest' =
+    # f32 — same knob the C4 box head honors, models/box_head.py:32)
+    roi_align_precision: str = "highest"
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
@@ -49,6 +52,7 @@ class FPNBoxHead(nn.Module):
                 fs, r, output_size=self.pooler_resolution,
                 scales=self.pooler_scales,
                 sampling_ratio=self.pooler_sampling_ratio,
+                precision=self.roi_align_precision,
             ),
             in_axes=(0, 0),
         )(features[: len(self.pooler_scales)], rois)

@@ -65,6 +65,9 @@ class FasterRCNNFPN(nn.Module):
     num_stacked_convs: int = 4
     xconv_dilation: int = 1
     dtype: Any = jnp.float32
+    # TPU.ROI_ALIGN_PRECISION for every multi-level pool (box/mask/
+    # keypoint) — same knob the C4 family honors (models/detector.py:45)
+    roi_align_precision: str = "highest"
     freeze_at: int = 0
     freeze_all: bool = False
     fpn_use_gn: bool = False
@@ -121,6 +124,7 @@ class FasterRCNNFPN(nn.Module):
             dilation=self.xconv_dilation,
             gn=self.gn,
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            roi_align_precision=self.roi_align_precision,
             name="roi_heads",
         )
         if self.mask_on:
@@ -164,6 +168,7 @@ class FasterRCNNFPN(nn.Module):
                 fs, r, output_size=self.mask_pooler_resolution,
                 scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
                 sampling_ratio=self.mask_pooler_sampling_ratio,
+                precision=self.roi_align_precision,
             ),
             in_axes=(0, 0),
         )(list(pyramid)[:4], rois)
@@ -182,6 +187,7 @@ class FasterRCNNFPN(nn.Module):
                 fs, r, output_size=self.keypoint_pooler_resolution,
                 scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
                 sampling_ratio=self.keypoint_pooler_sampling_ratio,
+                precision=self.roi_align_precision,
             ),
             in_axes=(0, 0),
         )(list(pyramid)[:4], rois)
@@ -274,6 +280,7 @@ def build_fpn_detector(cfg):
         num_stacked_convs=int(bh.NUM_STACKED_CONVS),
         xconv_dilation=int(bh.DILATION),
         dtype=dtype,
+        roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
         freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
         freeze_all=bool(cfg.MODEL.BACKBONE.FREEZE)
         or bool(cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)),

@@ -96,6 +96,7 @@ def _cfg():
     cfg.TPU.SOFTEN_TOPK = SOFTEN
     cfg.TPU.SOFTEN_KEEP = SOFTEN
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.ROI_ALIGN_PRECISION = "highest"
     return cfg
 
 

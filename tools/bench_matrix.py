@@ -67,8 +67,14 @@ def _family_cfg(family):
         cfg.MODEL.KEYPOINT_ON = True
     elif family in ("fpn", "fpn_abr"):
         cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+        # FPN deployments run 256-channel pyramids (upstream
+        # maskrcnn-benchmark FPN configs set BACKBONE_OUT_CHANNELS: 256;
+        # the 1024 default is the C4 res4 width — a 1024-ch FPN train
+        # step does not fit 16G HBM at this canvas/batch)
+        cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
     elif family == "retinanet":
         cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+        cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
         cfg.MODEL.RETINANET_ON = True
         cfg.MODEL.RETINANET.NUM_CLASSES = 21
     elif family == "fbnet":
