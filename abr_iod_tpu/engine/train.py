@@ -165,9 +165,15 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
     if batch.gt_keypoints is not None and getattr(model, "keypoint_on", False):
         from ..models.keypoint_head import keypoint_rcnn_loss
 
-        kp_logits = model.apply(
-            params, roi_feats, method="keypoints_from_roi_features"
-        )  # [B, S, H, H, K]
+        if hasattr(model, "keypoints_from_roi_features"):
+            kp_logits = model.apply(
+                params, roi_feats, method="keypoints_from_roi_features"
+            )  # [B, S, H, H, K]
+        else:
+            # non-shared keypoint extractor (FBNet: its own pool + 'kpts'
+            # blocks, reference fbnet.py:225-237)
+            kp_logits = model.apply(params, features, rois,
+                                    method="keypoint_heads")
         b_, s_ = rois.shape[:2]
         roi_kps = jax.vmap(lambda kps, m: kps[m])(batch.gt_keypoints, rmatched)
         loss_kp = keypoint_rcnn_loss(

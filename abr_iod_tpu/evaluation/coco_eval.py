@@ -35,6 +35,15 @@ AREA_RANGES = {
 }
 
 
+def _nanmean(a) -> float:
+    """np.nanmean that stays silent on all-NaN input (classes absent from
+    an area range / with no GTs produce all-NaN AP/AR rows; numpy's
+    nanmean would warn `Mean of empty slice` for them)."""
+    a = np.asarray(a, dtype=np.float64)
+    m = ~np.isnan(a)
+    return float(a[m].mean()) if m.any() else float("nan")
+
+
 def _iou_xyxy(a: np.ndarray, b: np.ndarray, crowd_b=None) -> np.ndarray:
     """pycocotools maskUtils.iou semantics: for a crowd gt column the
     union is the DETECTION's area (a det fully inside a crowd region has
@@ -248,17 +257,17 @@ def eval_detection_coco(predictions: List[Dict], ground_truths: List[Dict],
                 npig += n
             ap, rec = _accumulate(per_image, npig, max_dets)
             if area == "all":
-                per_class_ap[l] = float(np.nanmean(ap))
+                per_class_ap[l] = _nanmean(ap)
                 per_class_ap50[l] = float(ap[0])
                 per_class_ap75[l] = float(ap[5])
-                recalls["AR100"].append(np.nanmean(rec))
+                recalls["AR100"].append(_nanmean(rec))
                 for k, md in (("AR10", 10), ("AR1", 1)):
                     _, r = _accumulate(per_image, npig, md)
-                    recalls[k].append(np.nanmean(r))
+                    recalls[k].append(_nanmean(r))
             else:
                 short = {"small": "ARs", "medium": "ARm", "large": "ARl"}[area]
-                recalls[short].append(np.nanmean(rec))
-                area_aps[area].append(np.nanmean(ap))
+                recalls[short].append(_nanmean(rec))
+                area_aps[area].append(_nanmean(ap))
 
     def avg(vals):
         vals = [v for v in vals if not np.isnan(v)]

@@ -27,6 +27,17 @@ from .voc_eval import _iou as _box_iou_quirk, calc_detection_voc_ap
 IOU_THRESHOLDS = np.arange(0.5, 0.95, 0.05)  # 9 values, .95 excluded
 
 
+def _nanmean(a, axis=None):
+    """np.nanmean that stays silent on all-NaN slices (classes with no GT
+    instances legitimately have NaN AP at every threshold; np.nanmean would
+    emit `RuntimeWarning: Mean of empty slice` for them)."""
+    a = np.asarray(a, dtype=np.float64)
+    mask = ~np.isnan(a)
+    cnt = mask.sum(axis=axis)
+    tot = np.where(mask, a, 0.0).sum(axis=axis)
+    return np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
+
+
 def mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """a [N,H,W] bool, b [M,H,W] bool → [N,M] pixel IoU."""
     a2 = a.reshape(a.shape[0], -1).astype(np.float64)
@@ -129,16 +140,16 @@ def eval_instance_seg_voc(predictions: List[Dict], ground_truths: List[Dict],
     ap_stack = np.stack([_ap_at(per_class, n_pos, t, "mask")
                          for t in thresholds])
     out = {
-        "ap": np.nanmean(ap_stack, axis=0),
-        "map": float(np.nanmean(ap_stack)) if ap_stack.size else float("nan"),
+        "ap": _nanmean(ap_stack, axis=0),
+        "map": float(_nanmean(ap_stack)) if ap_stack.size else float("nan"),
     }
     # only report a '@.5' number when 0.5 is actually the first threshold
     if ap_stack.size and abs(float(thresholds[0]) - 0.5) < 1e-9:
-        out["map50"] = float(np.nanmean(ap_stack[0]))
+        out["map50"] = float(_nanmean(ap_stack[0]))
     if have_boxes:
         box_stack = np.stack([_ap_at(per_class, n_pos, t, "box")
                               for t in thresholds])
-        out["ap_box"] = np.nanmean(box_stack, axis=0)
-        out["map_box"] = (float(np.nanmean(box_stack))
+        out["ap_box"] = _nanmean(box_stack, axis=0)
+        out["map_box"] = (float(_nanmean(box_stack))
                           if box_stack.size else float("nan"))
     return out

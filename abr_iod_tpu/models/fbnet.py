@@ -261,6 +261,7 @@ MODEL_ARCH = {
             ["ir_k3"] * 4,  # bbox head
             ["ir_k3"] * 3,  # rpn
             ["ir_k3"] * 5,  # mask head
+            ["ir_k3"] * 3,  # kpts head (repo extension, see group note)
         ],
         "block_cfg": {
             "first": [32, 2],
@@ -272,11 +273,18 @@ MODEL_ARCH = {
                 [[4, 160, 1, 2], [6, 160, 2, 1], [6, 240, 1, 1]],
                 [[6, 96, 3, 1]],
                 [[4, 160, 1, 1], [6, 160, 3, 1], [3, 80, 1, 1]],
+                [[6, 96, 3, 1]],
             ],
             "backbone": [0, 1, 2, 3],
             "rpn": [5],
             "bbox": [4],
             "mask": [6],
+            # repo extension: a keypoint head stage group.  No reference
+            # arch table defines 'kpts'; the reference's fallback chain
+            # (fbnet.py:156-162 _get_head_stage → get_blocks(None) keeps
+            # EVERY stage) is degenerate, so we give the default arch a
+            # real kpts stage instead (same shape as its rpn stage).
+            "kpts": [7],
         },
     },
     "xirb16d_dsmask": {
@@ -532,7 +540,7 @@ class FBNetRoIBoxHead(nn.Module):
     pooler_sampling_ratio: int = 0
     scale: float = 1.0
     # TPU.ROI_ALIGN_PRECISION (same knob as the C4/FPN families)
-    roi_align_precision: str = "highest"
+    roi_align_precision: str = "default"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -582,7 +590,7 @@ class FBNetRoIMaskHead(nn.Module):
     pooler_scale: float = 1.0 / 16
     pooler_sampling_ratio: int = 0
     scale: float = 1.0
-    roi_align_precision: str = "highest"
+    roi_align_precision: str = "default"
     predictor_name: str = "MaskRCNNC4Predictor"
     dtype: Any = jnp.float32
 
@@ -620,6 +628,58 @@ class FBNetRoIMaskHead(nn.Module):
         return logits.reshape((b, s) + logits.shape[1:])
 
 
+class FBNetRoIKeypointHead(nn.Module):
+    """RoIAlign → the arch's 'kpts' stage blocks → deconv keypoint
+    predictor (reference fbnet.py:225-237 FBNet.roi_head_keypoints: an
+    FBNetROIHead over the 'kpts' head stage — falling back to 'head' per
+    _get_head_stage, fbnet.py:156-162 — registered as the keypoint
+    feature extractor, feeding the standard KeypointRCNNPredictor)."""
+
+    num_keypoints: int = 17
+    arch: str = "default"
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16
+    pooler_sampling_ratio: int = 0
+    scale: float = 1.0
+    roi_align_precision: str = "default"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, rois, train: bool = False):
+        import jax
+
+        from ..ops.roi_align import roi_align
+        from .keypoint_head import KeypointRCNNPredictor
+
+        stage = arch_stage_blocks(self.arch, "kpts")
+        if not stage:  # reference fallback: 'kpts' → 'head'
+            stage = arch_stage_blocks(self.arch, "head")
+        if not stage:
+            raise ValueError(
+                f"FBNet arch {self.arch!r} defines neither a 'kpts' nor a "
+                "'head' stage group (reference fbnet.py:156-162 falls back "
+                "to running the whole arch, which is never intended)"
+            )
+        b, s = rois.shape[:2]
+        pool = jax.vmap(
+            lambda f, r: roi_align(
+                f, r, output_size=self.pooler_resolution,
+                spatial_scale=self.pooler_scale,
+                sampling_ratio=self.pooler_sampling_ratio,
+                precision=self.roi_align_precision,
+            )
+        )(features, rois)
+        x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
+        specs = [sp for st in stage for sp in st]
+        x = _BlockSeq(tuple(specs), self.scale, dtype=self.dtype,
+                      name="tower")(x, train=train)
+        heat = KeypointRCNNPredictor(
+            num_keypoints=self.num_keypoints, dtype=self.dtype,
+            name="predictor",
+        )(x)
+        return heat.reshape((b, s) + heat.shape[1:])
+
+
 class FBNetFasterRCNN(nn.Module):
     """FBNet trunk + FBNet RPN + FBNet RoI box head with the same apply
     surface as models.detector.FasterRCNN (backbone/rpn/roi_heads), so
@@ -634,7 +694,10 @@ class FBNetFasterRCNN(nn.Module):
     mask_on: bool = False
     mask_pooler_resolution: int = 14
     mask_predictor_name: str = "MaskRCNNC4Predictor"
-    roi_align_precision: str = "highest"
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_pooler_resolution: int = 14
+    roi_align_precision: str = "default"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -656,6 +719,14 @@ class FBNetFasterRCNN(nn.Module):
                 roi_align_precision=self.roi_align_precision,
                 dtype=self.dtype, name="mask_heads_mod",
             )
+        if self.keypoint_on:
+            self.keypoint_head = FBNetRoIKeypointHead(
+                num_keypoints=self.num_keypoints, arch=self.arch,
+                pooler_resolution=self.keypoint_pooler_resolution,
+                scale=self.scale,
+                roi_align_precision=self.roi_align_precision,
+                dtype=self.dtype, name="keypoint_heads_mod",
+            )
 
     def backbone(self, pixels):
         c, stage_outputs = self.trunk(pixels)
@@ -674,12 +745,21 @@ class FBNetFasterRCNN(nn.Module):
             raise ValueError("model built without mask_on")
         return self.mask_head(features, rois)
 
+    def keypoint_heads(self, features, rois):
+        """FBNet keypoint branch: its own pool + 'kpts' blocks + deconv
+        predictor (reference fbnet.py:225-237 FBNet.roi_head_keypoints)."""
+        if not self.keypoint_on:
+            raise ValueError("model built without keypoint_on")
+        return self.keypoint_head(features, rois)
+
     def __call__(self, pixels, rois):
         features, _ = self.backbone(pixels)
         objectness, box_deltas = self.rpn(features)
         out = self.roi_heads(features, rois)
         if self.mask_on:
-            return out + (self.mask_heads(features, rois),)
+            out = out + (self.mask_heads(features, rois),)
+        if self.keypoint_on:
+            out = out + (self.keypoint_heads(features, rois),)
         return out
 
 
@@ -699,5 +779,9 @@ def build_fbnet_detector(cfg):
         mask_pooler_resolution=int(cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION),
         mask_predictor_name=str(cfg.MODEL.ROI_MASK_HEAD.get(
             "PREDICTOR", "MaskRCNNC4Predictor")),
+        keypoint_on=bool(cfg.MODEL.KEYPOINT_ON),
+        num_keypoints=int(cfg.MODEL.ROI_KEYPOINT_HEAD.get("NUM_CLASSES", 17)),
+        keypoint_pooler_resolution=int(
+            cfg.MODEL.ROI_KEYPOINT_HEAD.get("POOLER_RESOLUTION", 14)),
         roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
     )

@@ -40,7 +40,7 @@ class FPNBoxHead(nn.Module):
     cls_agnostic_bbox_reg: bool = False
     # TPU.ROI_ALIGN_PRECISION ('default' = bf16 MXU einsums, 'highest' =
     # f32 — same knob the C4 box head honors, models/box_head.py:32)
-    roi_align_precision: str = "highest"
+    roi_align_precision: str = "default"
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):

@@ -67,7 +67,7 @@ class FasterRCNNFPN(nn.Module):
     dtype: Any = jnp.float32
     # TPU.ROI_ALIGN_PRECISION for every multi-level pool (box/mask/
     # keypoint) — same knob the C4 family honors (models/detector.py:45)
-    roi_align_precision: str = "highest"
+    roi_align_precision: str = "default"
     freeze_at: int = 0
     freeze_all: bool = False
     fpn_use_gn: bool = False

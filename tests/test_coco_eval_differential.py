@@ -10,8 +10,13 @@ against abr_iod_tpu's vectorized evaluator on randomized datasets.
 """
 
 import numpy as np
+import pytest
 
 from abr_iod_tpu.evaluation.coco_eval import eval_detection_coco
+
+# the restatement keeps numpy's plain nanmean (pycocotools semantics);
+# its all-NaN-slice warning is expected, keep the suite clean under -W
+pytestmark = pytest.mark.filterwarnings("ignore:Mean of empty slice")
 
 T_THRS = np.linspace(0.5, 0.95, 10)
 R_THRS = np.linspace(0.0, 1.0, 101)

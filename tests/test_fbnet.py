@@ -193,6 +193,83 @@ def test_fbnet_mask_head_trains(rng):
     assert np.isfinite(float(metrics["loss_mask"]))
 
 
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
+def test_fbnet_keypoint_head_trains(rng):
+    """MODEL.KEYPOINT_ON with CONV_BODY FBNet builds the arch's 'kpts'
+    stage head (reference fbnet.py:225-237 FBNet.roi_head_keypoints) and
+    the train step produces a finite keypoint loss — the last registered
+    FBNet capability (VERDICT r3 missing #2)."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.engine import Batch, TrainState, make_train_step
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.solver.optim import make_optimizer
+
+    cfg = get_default_config()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    cfg.MODEL.FBNET.ARCH = "default"  # has a 'kpts' stage group
+    cfg.MODEL.FBNET.SCALE_FACTOR = 0.25
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 5
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TPU.PRE_NMS_TOP_N_TRAIN = 64
+    cfg.TPU.POST_NMS_TOP_N_TRAIN = 32
+    cfg.TPU.MAX_GT = 8
+    canvas = (64, 96)
+
+    model = build_detection_model(cfg)
+    assert model.keypoint_on and model.num_keypoints == 5
+    pixels = jnp.asarray(rng.randn(1, *canvas, 3).astype(np.float32))
+    rois = jnp.zeros((1, 4, 4)) + 16.0
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pixels, rois)
+    # init exposes the keypoint branch: [B, S, H', W', K] heatmaps
+    out = model.apply(params, pixels, rois)
+    assert out[-1].shape[:2] == (1, 4) and out[-1].shape[-1] == 5
+
+    tx = make_optimizer(cfg, params)
+    gt_boxes = np.zeros((1, 8, 4), np.float32)
+    gt_labels = np.zeros((1, 8), np.int32)
+    gt_mask = np.zeros((1, 8), bool)
+    gt_boxes[:, 0] = [4, 4, 40, 40]
+    gt_labels[:, 0] = 1
+    gt_mask[:, 0] = True
+    # visible keypoints inside the gt box
+    kps = np.zeros((1, 8, 5, 3), np.float32)
+    kps[0, 0, :, 0] = np.linspace(8, 36, 5)
+    kps[0, 0, :, 1] = np.linspace(8, 36, 5)
+    kps[0, 0, :, 2] = 1.0
+    batch = Batch(
+        pixels=pixels,
+        sizes=jnp.asarray([[canvas[0], canvas[1]]], jnp.int32),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_labels=jnp.asarray(gt_labels),
+        gt_mask=jnp.asarray(gt_mask),
+        gt_keypoints=jnp.asarray(kps),
+    )
+    step, _ = make_train_step(model, tx, cfg, canvas)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state, metrics = step(state, batch)
+    assert "loss_kp" in metrics
+    assert np.isfinite(float(metrics["loss_kp"]))
+
+
+def test_fbnet_keypoint_head_requires_kpts_group():
+    """Archs without a 'kpts' (or 'head') stage group reject KEYPOINT_ON
+    loudly instead of the reference's run-the-whole-arch fallback."""
+    import pytest as _pytest
+    from abr_iod_tpu.models.fbnet import FBNetFasterRCNN
+
+    model = FBNetFasterRCNN(num_classes=3, arch="cham_v1a", num_anchors=3,
+                            scale=0.25, keypoint_on=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    rois = jnp.zeros((1, 2, 4)) + 16.0
+    with _pytest.raises(ValueError, match="kpts"):
+        jax.jit(model.init)(jax.random.PRNGKey(0), x, rois)
+
+
 def test_fbnet_mask_head_requires_mask_group():
     """Archs without a 'mask' stage group reject MASK_ON loudly."""
     import pytest as _pytest

@@ -5,8 +5,8 @@ This is the closest in-CI analogue of the reference's headline VOC
 experiments: train a first task on synthetic classes {1,2}, then run an
 incremental step on class {3} two ways — naive finetune (new-class data
 only, plain CE) vs ABR (crop-bank replay + UCE + ARD) — and compare
-old-class mAP after.  Gated behind ABR_IOD_RUN_SLOW=1 (≈10 min on 1 CPU);
-run in CI rounds, not on every pytest invocation.
+old-class mAP after.  Slow tier: runs under `pytest -m ""` (≈10 min on
+1 CPU).
 """
 
 import os
@@ -15,10 +15,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-
-if os.environ.get("ABR_IOD_RUN_SLOW") != "1":
-    pytest.skip("slow forgetting test (set ABR_IOD_RUN_SLOW=1)",
-                allow_module_level=True)
 
 from abr_iod_tpu.config import get_default_config, VOC_CLASSES
 from abr_iod_tpu.data.abr_fusion import make_abr_batch_fn
