@@ -279,6 +279,15 @@ _C.TPU.CANVAS_TEST = (832, 1344)
 # full shortest-side-800 resolution; batches are orientation-grouped and
 # each orientation gets its own cached executable (data/loader.py)
 _C.TPU.DUAL_ORIENTATION = True
+# host-side LRU cache of resized uint8 canvases + scaled boxes, keyed by
+# (image, min_size, canvas).  Iteration-based training revisits the same
+# images thousands of times; the reference re-decodes + re-resizes every
+# epoch in its DataLoader workers (reference data/build.py:109-169) — the
+# resize output is deterministic (uint8-exact) whenever color jitter is
+# off (every shipped recipe), so caching it is output-invariant: flip /
+# fusion / normalization stay downstream.  Budget in MB (VOC trainval at
+# 832x1344 is ~17 GB); 0 disables.  Jitter-enabled recipes bypass it.
+_C.TPU.CANVAS_CACHE_MB = 20480
 _C.TPU.MAX_GT = 64  # padded ground-truth slots per image
 # instance masks ride as per-GT box-normalized crops of this resolution
 # (full-image masks don't batch statically; see structures/masks.py

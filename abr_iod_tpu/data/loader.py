@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -84,6 +85,21 @@ class DetectionLoader:
         self.num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
         self._pool = None
         self._portrait_cache: dict = {}
+        # resized-canvas LRU: (index, min_size, canvas) → (uint8 canvas,
+        # size_hw, scaled boxes).  The resize chain is deterministic and
+        # uint8-exact whenever color jitter is off (clip(f32,0,255)→uint8
+        # is the identity on byte input and draws nothing from the item
+        # rng), so cache hits are bit-identical to recomputation; flip /
+        # normalization / fusion all run downstream of the cache.
+        jitter_on = is_train and any(
+            float(cfg.INPUT.get(k, 0.0)) > 0
+            for k in ("BRIGHTNESS", "CONTRAST", "SATURATION", "HUE")
+        )
+        budget_mb = float(cfg.TPU.get("CANVAS_CACHE_MB", 20480))
+        self._cache_budget = 0 if jitter_on else int(budget_mb * 2 ** 20)
+        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.source)
@@ -168,28 +184,69 @@ class DetectionLoader:
                      (self.shard_index + 1) * self.batch_size]
 
     # ---------------------------------------------------------- loading
+    def _resized(self, index: int, record: dict, min_size: int, dtype):
+        """Deterministic decode→resize→scale-boxes for one image, served
+        from the LRU when possible (stored as uint8 — converting to f32 on
+        hit is exact since the PIL resize output is byte-valued)."""
+        key = (index, min_size, self.canvas_for(index))
+        if self._cache_budget > 0:
+            with self._cache_lock:
+                hit = self._cache.get(key)
+                if hit is not None:
+                    self._cache.move_to_end(key)
+            if hit is not None:
+                canvas_u8, size_hw, boxes = hit
+                canvas = (canvas_u8 if dtype == np.uint8
+                          else canvas_u8.astype(dtype))
+                return canvas, size_hw, boxes.copy()
+        image = self.source.load_image(index)
+        canvas_u8, size_hw, boxes = T.resize_to_canvas(
+            image, record["boxes"], min_size, self.max_size,
+            self.canvas_for(index), dtype=np.uint8,
+        )
+        if self._cache_budget > 0:
+            nbytes = canvas_u8.nbytes + boxes.nbytes + 128
+            with self._cache_lock:
+                if key not in self._cache:
+                    self._cache[key] = (canvas_u8, size_hw, boxes)
+                    self._cache_bytes += nbytes
+                    while self._cache_bytes > self._cache_budget and self._cache:
+                        _, (c, _, b) = self._cache.popitem(last=False)
+                        self._cache_bytes -= c.nbytes + b.nbytes + 128
+        canvas = canvas_u8 if dtype == np.uint8 else canvas_u8.astype(dtype)
+        return canvas, size_hw, boxes.copy()
+
     def _load_one(self, index: int, rng: np.random.RandomState):
         record = self.source.annotation(index)
-        image = self.source.load_image(index)
-        image = T.color_jitter(
-            image, rng,
-            brightness=float(self.cfg.INPUT.BRIGHTNESS),
-            contrast=float(self.cfg.INPUT.CONTRAST),
-            saturation=float(self.cfg.INPUT.SATURATION),
-            hue=float(self.cfg.INPUT.HUE),
-        ) if self.is_train else image.astype(np.float32)
-        min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
-                    if self.is_train and len(self.min_sizes) > 1
-                    else self.min_size)
         # the PIL resize output is uint8-exact (transforms.resize_to_canvas),
         # so everything except the host-normalized mode ships byte canvases:
         # 4x less host→device traffic; normalization (or ABR fusion, which
         # normalizes itself) runs on device
         canvas_dtype = np.float32 if self.normalize is True else np.uint8
-        canvas, size_hw, boxes = T.resize_to_canvas(
-            image, record["boxes"], min_size, self.max_size,
-            self.canvas_for(index), dtype=canvas_dtype,
-        )
+        if self._cache_budget > 0:
+            # jitter is off (cache enabled ⇒ all factors 0 ⇒ color_jitter
+            # is the identity and draws nothing) — rng order is unchanged
+            min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
+                        if self.is_train and len(self.min_sizes) > 1
+                        else self.min_size)
+            canvas, size_hw, boxes = self._resized(
+                index, record, min_size, canvas_dtype)
+        else:
+            image = self.source.load_image(index)
+            image = T.color_jitter(
+                image, rng,
+                brightness=float(self.cfg.INPUT.BRIGHTNESS),
+                contrast=float(self.cfg.INPUT.CONTRAST),
+                saturation=float(self.cfg.INPUT.SATURATION),
+                hue=float(self.cfg.INPUT.HUE),
+            ) if self.is_train else image.astype(np.float32)
+            min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
+                        if self.is_train and len(self.min_sizes) > 1
+                        else self.min_size)
+            canvas, size_hw, boxes = T.resize_to_canvas(
+                image, record["boxes"], min_size, self.max_size,
+                self.canvas_for(index), dtype=canvas_dtype,
+            )
         flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob
         if flipped:
             canvas, boxes = T.hflip(canvas, size_hw, boxes)

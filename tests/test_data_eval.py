@@ -86,6 +86,58 @@ def test_loader_batches(voc_root):
         assert (bx[:, 2] <= w + 1e-3).all() and (bx[:, 3] <= h + 1e-3).all()
 
 
+def test_canvas_cache_bit_identical(voc_root):
+    """The resized-canvas LRU (TPU.CANVAS_CACHE_MB) must be output-
+    invariant: multi-epoch train batches with the cache enabled are
+    byte-equal to a cache-disabled run, in every normalize mode, with
+    flip + multi-scale draws active (the rng stream is untouched)."""
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 160)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96, 112)  # multi-scale draw exercised
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.TPU.MAX_GT = 8
+    src = VOCDataSource(voc_root, "trainval", "train_new", (), VOC_CLASSES[:6], ())
+
+    def run(cache_mb, normalize):
+        c = cfg.clone()
+        c.TPU.CANVAS_CACHE_MB = cache_mb
+        loader = DetectionLoader(src, c, batch_size=4, is_train=True,
+                                 normalize=normalize, seed=3)
+        # 12 images / batch 4 → 9 batches spans 3 epochs: epochs 2-3 hit
+        batches = list(loader.batches(max_batches=9))
+        return loader, batches
+
+    for normalize in (True, "device"):
+        l0, base = run(0, normalize)
+        l1, cached = run(64, normalize)
+        assert l0._cache_budget == 0 and l1._cache_budget > 0
+        assert len(l1._cache) > 0  # the cache actually populated
+        for a, b in zip(base, cached):
+            np.testing.assert_array_equal(a.pixels, b.pixels)
+            np.testing.assert_array_equal(a.sizes, b.sizes)
+            np.testing.assert_array_equal(a.gt_boxes, b.gt_boxes)
+            np.testing.assert_array_equal(a.gt_labels, b.gt_labels)
+            np.testing.assert_array_equal(a.gt_mask, b.gt_mask)
+
+    # an LRU budget smaller than the dataset evicts instead of growing
+    c = cfg.clone()
+    c.TPU.CANVAS_CACHE_MB = 0.2  # ~3 canvases of 128x160x3
+    loader = DetectionLoader(src, c, batch_size=4, is_train=True,
+                             normalize="device", seed=3)
+    small = list(loader.batches(max_batches=9))
+    assert loader._cache_bytes <= loader._cache_budget
+    for a, b in zip(base, small):
+        np.testing.assert_array_equal(
+            np.asarray(a.pixels, np.uint8), b.pixels)
+
+    # active color jitter disables the cache (output would not be
+    # deterministic per image)
+    cj = cfg.clone()
+    cj.INPUT.BRIGHTNESS = 0.4
+    loader = DetectionLoader(src, cj, batch_size=4, is_train=True)
+    assert loader._cache_budget == 0
+
+
 def test_loader_resume_fast_forwards_stream(voc_root):
     """A resumed loader must continue the index stream where the checkpoint
     left off, not re-consume the first start_iter batches (reference
