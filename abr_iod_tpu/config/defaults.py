@@ -336,6 +336,11 @@ _C.TPU.ROI_CHUNK = 1024  # RoIAlign roi-chunking cap: leaves both the train head
 # chunking the 1000-proposal eval pool into a lax.map loop round-trips the
 # [r,P,W,C] intermediate through HBM and measured -11% eval throughput
 # (84.5→94.6 img/s/chip @ batch 4, 96.2→108.0 @ batch 8; BASELINE.md)
+# whole-head RoI chunking (pool + res5 + predictors per chunk, python-
+# unrolled): lets XLA overlap one chunk's HBM-bound RoIAlign with
+# another's MXU-bound res5 and bounds the pooling transient; 0 = off
+# (monolithic head).  Only engaged when the RoI count exceeds the chunk.
+_C.TPU.ROI_HEAD_CHUNK = 0
 _C.TPU.SOFTEN_TOPK = 128  # teacher keeps top-128 proposals …
 _C.TPU.SOFTEN_KEEP = 64  # … and randomly retains 64 (generalized_rcnn.py:141-165)
 _C.TPU.MESH_DATA = -1  # -1: all devices on the data axis

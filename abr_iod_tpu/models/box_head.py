@@ -32,6 +32,11 @@ class RoiBoxHead(nn.Module):
     roi_align_precision: str = "default"
     use_pallas_roi_align: bool = False
     roi_chunk: int = 128
+    # TPU.ROI_HEAD_CHUNK: when >0 and the RoI count exceeds it, run the
+    # WHOLE head (pool + res5 + predictors) in python-unrolled RoI chunks
+    # so XLA can overlap one chunk's HBM-bound pooling with another's
+    # MXU-bound res5 (eval-path latency hiding); 0 = monolithic
+    roi_head_chunk: int = 0
     norm: str = "frozen_bn"
     res5_with_dcn: bool = False  # STAGE_WITH_DCN[3]
     modulated_dcn: bool = False
@@ -59,9 +64,9 @@ class RoiBoxHead(nn.Module):
                 self.pooler_resolution, self.pooler_scale,
                 self.pooler_sampling_ratio,
             )
-            pool = jax.vmap(fused)(features, rois)
+            pool_fn = jax.vmap(fused)
         else:
-            pool = jax.vmap(
+            pool_fn = jax.vmap(
                 lambda f, r: roi_align(
                     f,
                     r,
@@ -71,11 +76,9 @@ class RoiBoxHead(nn.Module):
                     precision=self.roi_align_precision,
                     roi_chunk=self.roi_chunk,
                 )
-            )(features, rois)
-        roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency
+            )
 
-        x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
-        x = Res5Head(
+        res5 = Res5Head(
             block_count=self.res5_blocks,
             bottleneck_channels=self.res5_bottleneck,
             out_channels=self.res5_out,
@@ -89,30 +92,60 @@ class RoiBoxHead(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             gn=self.gn,
             name="res5",
-        )(x)  # [BS, 4, 4, 2048]
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [BS, 2048]
-
-        cls_logits = nn.Dense(
+        )
+        cls_dense = nn.Dense(
             self.num_classes,
             kernel_init=nn.initializers.normal(0.01),
             dtype=self.dtype,
             name="cls_score",
-        )(x)
+        )
         n_reg = 2 if self.cls_agnostic_bbox_reg else self.num_classes
-        box_reg = nn.Dense(
+        box_dense = nn.Dense(
             n_reg * 4,
             kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype,
             name="bbox_pred",
-        )(x)
+        )
+
+        def run_chunk(r):
+            """pool → res5 → avgpool → predictors for one RoI slice
+            [B, c, 4] (shared submodule instances = shared params)."""
+            c = r.shape[1]
+            pool = pool_fn(features, r)  # [B, c, P, P, C]
+            x = pool.reshape((b * c,) + pool.shape[2:]).astype(self.dtype)
+            x = res5(x)  # [Bc, 4, 4, 2048]
+            x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → [Bc, 2048]
+            return (pool, x.reshape(b, c, -1),
+                    cls_dense(x).reshape(b, c, -1),
+                    box_dense(x).reshape(b, c, -1))
+
+        hc = int(self.roi_head_chunk)
+        if hc > 0 and s > hc:
+            # WHOLE-HEAD chunking, python-unrolled: chunk k+1's bandwidth-
+            # bound RoIAlign einsums are data-independent of chunk k's MXU-
+            # bound res5, so XLA's latency-hiding scheduler can overlap
+            # them (the eval profile shows ~14 ms/iter of exposed HBM copy
+            # starts around a monolithic 1000-RoI head — VERDICT r3 weak
+            # #6); also bounds the [B,c,P,W,C] pooling transient.  Padded
+            # slots pool garbage and are sliced off before use.
+            pad = (-s) % hc
+            rois_p = (jnp.pad(rois, ((0, 0), (0, pad), (0, 0)))
+                      if pad else rois)
+            parts = [run_chunk(rois_p[:, i:i + hc])
+                     for i in range(0, s + pad, hc)]
+            pool = jnp.concatenate([p[0] for p in parts], axis=1)[:, :s]
+            head_feats = jnp.concatenate([p[1] for p in parts], axis=1)[:, :s]
+            cls_logits = jnp.concatenate([p[2] for p in parts], axis=1)[:, :s]
+            box_reg = jnp.concatenate([p[3] for p in parts], axis=1)[:, :s]
+        else:
+            pool, head_feats, cls_logits, box_reg = run_chunk(rois)
+
+        roi_feats = pool  # [B, S, P, P, C] — the ARD / PBS currency
         if self.cls_agnostic_bbox_reg:
             # fg deltas broadcast over classes (reference box_head/
             # inference.py expands [-4:] the same way)
-            fg = box_reg.reshape(b * s, 2, 4)[:, 1]
-            box_reg = jnp.tile(fg[:, None, :], (1, self.num_classes, 1)).reshape(
-                b * s, self.num_classes * 4
-            )
-        head_feats = x.reshape(b, s, -1)
+            fg = box_reg.reshape(b, s, 2, 4)[:, :, 1]
+            box_reg = jnp.tile(fg[:, :, None, :], (1, 1, self.num_classes, 1))
         return (
             cls_logits.reshape(b, s, self.num_classes).astype(jnp.float32),
             box_reg.reshape(b, s, self.num_classes * 4).astype(jnp.float32),

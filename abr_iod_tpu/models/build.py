@@ -89,6 +89,7 @@ def build_detection_model(cfg):
         use_pallas_roi_align=bool(cfg.TPU.get("USE_PALLAS_ROI_ALIGN", False)),
         scan_blocks=bool(cfg.TPU.get("SCAN_BLOCKS", False)),
         roi_chunk=int(cfg.TPU.get("ROI_CHUNK", 128)),
+        roi_head_chunk=int(cfg.TPU.get("ROI_HEAD_CHUNK", 0)),
         pooler_resolution=int(bh.POOLER_RESOLUTION),
         pooler_scale=float(tuple(bh.POOLER_SCALES)[0]),
         pooler_sampling_ratio=sampling_ratio,

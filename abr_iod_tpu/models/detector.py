@@ -46,6 +46,7 @@ class FasterRCNN(nn.Module):
     use_pallas_roi_align: bool = False
     scan_blocks: bool = False
     roi_chunk: int = 128
+    roi_head_chunk: int = 0  # TPU.ROI_HEAD_CHUNK (see box_head.py)
     # frozen-prefix stop_gradient (MODEL.BACKBONE.FREEZE_CONV_BODY_AT /
     # MODEL.BACKBONE.FREEZE) — must mirror solver/optim.py's masks
     freeze_at: int = 0
@@ -107,6 +108,7 @@ class FasterRCNN(nn.Module):
             roi_align_precision=self.roi_align_precision,
             use_pallas_roi_align=self.use_pallas_roi_align,
             roi_chunk=self.roi_chunk,
+            roi_head_chunk=self.roi_head_chunk,
             norm=self.norm,
             res5_with_dcn=bool(tuple(self.stage_with_dcn)[3])
             if len(tuple(self.stage_with_dcn)) > 3 else False,

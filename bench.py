@@ -90,6 +90,8 @@ def main():
         cfg.TPU.NMS_BACKEND = os.environ["BENCH_NMS"]  # auto|pallas|xla
     if os.environ.get("BENCH_ROI_CHUNK"):
         cfg.TPU.ROI_CHUNK = int(os.environ["BENCH_ROI_CHUNK"])
+    if os.environ.get("BENCH_ROI_HEAD_CHUNK"):
+        cfg.TPU.ROI_HEAD_CHUNK = int(os.environ["BENCH_ROI_HEAD_CHUNK"])
     if os.environ.get("BENCH_SCAN") == "1":
         cfg.TPU.SCAN_BLOCKS = True
     # default statistics = exact reference recipe (12000/2000 pre/post,

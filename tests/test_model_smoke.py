@@ -202,3 +202,51 @@ def test_cls_agnostic_bbox_reg():
     assert out["box_reg"].shape == (1, 2, 20)  # broadcast back to 5 classes
     r = np.asarray(out["box_reg"]).reshape(2, 5, 4)
     assert np.allclose(r, r[:, :1, :])  # every class row identical
+
+
+@pytest.mark.slow  # compile-heavy (fast-tier budget)
+def test_roi_head_chunked_equals_monolithic(rng):
+    """TPU.ROI_HEAD_CHUNK (whole-head pool+res5+predictor chunking, the
+    eval latency-hiding knob) must be output-invariant: same logits,
+    box deltas, pooled features and head features as the monolithic
+    head — including a chunk that does not divide the RoI count."""
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.models.build import build_detection_model
+
+    cfg = get_default_config()
+    cfg.MODEL.RPN.ANCHOR_SIZES = (16, 32, 64)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 5
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.RES5_BLOCKS = 1
+    cfg.TPU.RES5_BOTTLENECK = 16
+    cfg.TPU.RES5_OUT = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    px = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    rois = np.zeros((2, 10, 4), np.float32)
+    for b in range(2):
+        for i in range(10):
+            x1, y1 = rng.randint(0, 50), rng.randint(0, 30)
+            rois[b, i] = [x1, y1, x1 + rng.randint(8, 40), y1 + rng.randint(8, 30)]
+    rois = jnp.asarray(rois)
+
+    model_mono = build_detection_model(cfg)
+    params = jax.jit(model_mono.init)(jax.random.PRNGKey(0), px, rois)
+
+    cfg_chunk = cfg.clone()
+    cfg_chunk.TPU.ROI_HEAD_CHUNK = 4  # 10 RoIs → chunks of 4,4,2 (ragged)
+    model_chunk = build_detection_model(cfg_chunk)
+    # identical param tree: chunking shares the same submodule instances
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, params,
+        jax.jit(model_chunk.init)(jax.random.PRNGKey(0), px, rois)))
+
+    out_m = model_mono.apply(params, px, rois)
+    out_c = model_chunk.apply(params, px, rois)
+    for key in ("cls_logits", "box_reg", "roi_features"):
+        np.testing.assert_allclose(
+            np.asarray(out_m[key]), np.asarray(out_c[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key)
