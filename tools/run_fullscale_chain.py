@@ -73,18 +73,32 @@ def write_configs(args, wd: str) -> None:
     yaml.safe_dump(first, open(os.path.join(
         cdir, "e2e_faster_rcnn_R_50_C4_4x.yaml"), "w"))
 
-    # ABR + plain finetune targets (WEIGHT/SOURCE_WEIGHT already point at
-    # the first task's output dir in the repo configs)
+    # ABR + plain finetune targets. The repo configs mirror the reference,
+    # where e.g. 10-5's step-1 source lives under output/10-10/ (10-5 and
+    # 10-10 share the same 10-class first task, reference
+    # configs/voc/10-5/*_Target_model.yaml:3-4). This chain trains its own
+    # first task under TASK={args.task}, so repoint WEIGHT/SOURCE_WEIGHT at
+    # the output dir the `first` stage actually writes.
+    first_out = first.get("OUTPUT_DIR", f"output/{args.task}/LR005_BS4_FILOD")
     for name in ("e2e_faster_rcnn_R_50_C4_4x_RB_Target_model.yaml",
                  "e2e_faster_rcnn_R_50_C4_4x_Target_model.yaml"):
         tgt = yaml.safe_load(
             open(os.path.join(REPO, f"configs/voc/{args.task}/{name}")))
+        tgt["MODEL"]["WEIGHT"] = os.path.join(
+            first_out, "model_trimmed.msgpack")
+        tgt["MODEL"]["SOURCE_WEIGHT"] = os.path.join(
+            first_out, "model_final.msgpack")
         _patch_common(tgt, args, args.inc_iters)
         yaml.safe_dump(tgt, open(os.path.join(cdir, name), "w"))
 
 
-def run_stage(tag: str, cmd, wd: str, env) -> float:
+def run_stage(tag: str, cmd, wd: str, env, resume: bool = False) -> float:
     log = os.path.join(wd, f"log_{tag}.log")
+    stamp = os.path.join(wd, f".done_{tag}")
+    if resume and os.path.exists(stamp):
+        print(f"[chain] {tag}: already done (stamp {stamp}), skipping",
+              flush=True)
+        return 0.0
     print(f"[chain] {tag}: {' '.join(cmd)}", flush=True)
     t0 = time.time()
     with open(log, "w") as f:
@@ -95,6 +109,8 @@ def run_stage(tag: str, cmd, wd: str, env) -> float:
         print(f"[chain] {tag} FAILED (exit {p.returncode}); log tail:")
         print("\n".join(open(log).read().splitlines()[-25:]))
         sys.exit(p.returncode)
+    with open(stamp, "w") as f:
+        f.write(f"{dt:.0f}\n")
     print(f"[chain] {tag} done in {dt:.0f}s", flush=True)
     return dt
 
@@ -114,6 +130,8 @@ def main():
     ap.add_argument("--synth-images", type=int, default=150)
     ap.add_argument("--skip-jt", action="store_true",
                     help="reuse an existing JT checkpoint in the workdir")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose .done_<tag> stamp exists in the workdir")
     ap.add_argument("--skip-ft", action="store_true",
                     help="skip the naive-finetune control chain")
     args = ap.parse_args()
@@ -138,30 +156,30 @@ def main():
         run_stage("jt", [py, f"{tools}/train_first_step.py",
                          "-c", "configs/voc/e2e_faster_rcnn_R_50_C4_4x_JT.yaml",
                          "TASK", args.task, "NAME", "JT", "STEP", "0"],
-                  wd, env)
+                  wd, env, resume=args.resume)
     run_stage("first", [py, f"{tools}/train_first_step.py",
                         "-c", f"configs/voc/{args.task}/e2e_faster_rcnn_R_50_C4_4x.yaml",
                         "TASK", args.task, "NAME", "FIRST", "STEP", "0"],
-              wd, env)
+              wd, env, resume=args.resume)
     run_stage("pbs0", [py, f"{tools}/prototype_box_selection.py",
                        "-n", "ABR", "-t", args.task, "-s", "0",
-                       "-mb", mb, "-mt", mt, "-iss"], wd, env)
+                       "-mb", mb, "-mt", mt, "-iss"], wd, env, resume=args.resume)
     for s in range(1, args.steps + 1):
         run_stage(f"abr{s}", [py, f"{tools}/train_incremental.py",
                               "-t", args.task, "-n", "ABR", "-s", str(s),
                               "--feat", "ard", "-gamma", "1.0", "--uce",
                               "--dist_type", "id", "-alpha", "0.5",
-                              "-beta", "1.0", "-mb", mb, "-mt", mt], wd, env)
+                              "-beta", "1.0", "-mb", mb, "-mt", mt], wd, env, resume=args.resume)
         if s < args.steps:
             run_stage(f"pbs{s}", [py, f"{tools}/prototype_box_selection.py",
                                   "-n", "ABR", "-t", args.task, "-s", str(s),
-                                  "-mb", mb, "-mt", mt, "-iss"], wd, env)
+                                  "-mb", mb, "-mt", mt, "-iss"], wd, env, resume=args.resume)
     if not args.skip_ft:
         for s in range(1, args.steps + 1):
             run_stage(f"ft{s}", [py, f"{tools}/train_incremental.py",
                                  "-t", args.task, "-n", "FT", "-s", str(s),
                                  "--feat", "no", "--dist_type", "none"],
-                      wd, env)
+                      wd, env, resume=args.resume)
 
     print(f"[chain] total {time.time() - t_all:.0f}s; ledger:")
     ledger = os.path.join(wd, "output", f"{args.task}.txt")
