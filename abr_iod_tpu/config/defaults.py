@@ -288,6 +288,17 @@ _C.TPU.DUAL_ORIENTATION = True
 # fusion / normalization stay downstream.  Budget in MB (VOC trainval at
 # 832x1344 is ~17 GB); 0 disables.  Jitter-enabled recipes bypass it.
 _C.TPU.CANVAS_CACHE_MB = 20480
+# Device-resident canvas bank (data/device_cache.py): keep training
+# canvases cached in HBM and assemble pixel batches with an on-device
+# gather, uploading only cache misses.  Output-invariant (bank entries
+# are exactly the bytes the host would ship; keys mirror the host canvas
+# cache, so it also requires jitter off).  Budget in MB PER canvas
+# orientation; 0 disables.  Biggest win on hosts with slow host↔device
+# links (probe: the 27 MB batch-8 upload costs ~230 ms through this
+# environment's tunnel vs a 117 ms device step); on PCIe TPU VMs it
+# saves bandwidth only.  Single-process runs only (multi-process falls
+# back to streaming automatically).
+_C.TPU.DEVICE_CANVAS_CACHE_MB = 2048
 _C.TPU.MAX_GT = 64  # padded ground-truth slots per image
 # instance masks ride as per-GT box-normalized crops of this resolution
 # (full-image masks don't batch statically; see structures/masks.py

@@ -48,6 +48,7 @@ class DetectionLoader:
         shard_index: int = 0,
         start_iter: int = 0,
         flip: Optional[bool] = None,
+        pixel_bank=None,
     ):
         self.source = source
         self.cfg = cfg
@@ -100,6 +101,15 @@ class DetectionLoader:
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_lock = threading.Lock()
+        # device-resident canvas bank (data/device_cache.DeviceCanvasBank):
+        # when set, _load_one skips producing pixel bytes for banked keys
+        # and batches()/raw_batches() yield (item, keys, canvases) triples
+        # for device-side assembly.  Requires the host cache path (jitter
+        # off) since bank keys mirror host-cache keys.
+        self.pixel_bank = pixel_bank if self._cache_budget > 0 else None
+        # (index, min_size, canvas) → (size_hw, boxes): tiny, unbounded —
+        # survives canvas-LRU eviction so bank hits never need the pixels
+        self._meta_cache: dict = {}
 
     def __len__(self):
         return len(self.source)
@@ -204,6 +214,8 @@ class DetectionLoader:
             image, record["boxes"], min_size, self.max_size,
             self.canvas_for(index), dtype=np.uint8,
         )
+        if self.pixel_bank is not None and key not in self._meta_cache:
+            self._meta_cache[key] = (size_hw, boxes.copy())
         if self._cache_budget > 0:
             nbytes = canvas_u8.nbytes + boxes.nbytes + 128
             with self._cache_lock:
@@ -229,6 +241,30 @@ class DetectionLoader:
             min_size = (self.min_sizes[rng.randint(len(self.min_sizes))]
                         if self.is_train and len(self.min_sizes) > 1
                         else self.min_size)
+            if self.pixel_bank is not None and canvas_dtype == np.uint8:
+                # device-resident canvas bank: the flip draw moves BEFORE
+                # canvas production (same randint→uniform sequence, so the
+                # rng stream is unchanged); on a bank hit no pixel bytes
+                # are produced at all — size/boxes come from the metadata
+                # cache populated on the key's first (miss) visit
+                flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob
+                bkey = (index, min_size, self.canvas_for(index), flipped)
+                meta = self._meta_cache.get(bkey[:3])
+                if meta is not None and self.pixel_bank.contains(bkey):
+                    canvas = None  # banked — no pixel bytes needed
+                    size_hw, boxes = meta[0], meta[1].copy()
+                    if flipped:
+                        boxes = T.hflip_boxes(size_hw, boxes)
+                else:
+                    canvas, size_hw, boxes = self._resized(
+                        index, record, min_size, canvas_dtype)
+                    if flipped:
+                        canvas, boxes = T.hflip(canvas, size_hw, boxes)
+                pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
+                crops = (self._mask_crops(record, flipped)
+                         if self.mask_crop_size else None)
+                return (canvas, np.asarray(size_hw, np.int32), pb, pl, pm,
+                        record, crops, bkey)
             canvas, size_hw, boxes = self._resized(
                 index, record, min_size, canvas_dtype)
         else:
@@ -256,7 +292,7 @@ class DetectionLoader:
             )
         pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
         crops = self._mask_crops(record, flipped) if self.mask_crop_size else None
-        return canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record, crops
+        return canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record, crops, None
 
     def _mask_crops(self, record, flipped: bool) -> np.ndarray:
         """[MAX_GT, R, R] float32: each gt instance's mask cropped to its
@@ -316,19 +352,29 @@ class DetectionLoader:
         return np.random.RandomState(mixed)
 
     def batches(self, max_batches: Optional[int] = None) -> Iterator[Batch]:
-        """Yield Batch pytrees (numpy); records side-channel not included."""
+        """Yield Batch pytrees (numpy); records side-channel not included.
+
+        With a pixel_bank attached, yields (Batch(pixels=None, ...), keys,
+        canvases) instead — the caller assembles the pixel batch on device
+        (canvases[i] is None for banked keys)."""
         count = 0
         for it, idxs in enumerate(self._index_batches()):
             loaded = self._load_many(
                 idxs, [self._item_rng(it, p) for p in range(len(idxs))]
             )
-            pixels, sizes, boxes, labels, masks = map(
-                np.stack, zip(*[l[:5] for l in loaded])
+            sizes, boxes, labels, masks = map(
+                np.stack, zip(*[l[1:5] for l in loaded])
             )
             crops = (
                 np.stack([l[6] for l in loaded]) if self.mask_crop_size else None
             )
-            yield Batch(pixels, sizes, boxes, labels, masks, gt_mask_crops=crops)
+            if self.pixel_bank is not None:
+                b = Batch(None, sizes, boxes, labels, masks, gt_mask_crops=crops)
+                yield b, [l[7] for l in loaded], [l[0] for l in loaded]
+            else:
+                pixels = np.stack([l[0] for l in loaded])
+                yield Batch(pixels, sizes, boxes, labels, masks,
+                            gt_mask_crops=crops)
             count += 1
             if max_batches is not None and count >= max_batches:
                 return
@@ -371,10 +417,16 @@ class DetectionLoader:
                 idxs, [self._item_rng(it, p) for p in range(len(idxs))]
             )
             items = []
-            for canvas, size_hw, pb, pl, pm, rec, _ in loaded:
+            for canvas, size_hw, pb, pl, pm, rec, _, _k in loaded:
                 orig = np.array([rec["height"], rec["width"]], np.int32)
-                items.append((canvas, size_hw, orig, pb, pl, pm))
-            yield tuple(map(np.stack, zip(*items)))
+                items.append((size_hw, orig, pb, pl, pm))
+            rest = tuple(map(np.stack, zip(*items)))
+            if self.pixel_bank is not None:
+                yield ((None,) + rest,
+                       [l[7] for l in loaded], [l[0] for l in loaded])
+            else:
+                pixels = np.stack([l[0] for l in loaded])
+                yield (pixels,) + rest
 
     def eval_batches(self):
         """Eval iteration: yields (Batch, records, n_valid) keeping the

@@ -79,18 +79,26 @@ def resize_to_canvas(image: np.ndarray, boxes: np.ndarray, min_size: int,
     return out, (nh, nw), scaled
 
 
+def hflip_boxes(size_hw, boxes: np.ndarray) -> np.ndarray:
+    """The box half of `hflip` (x → w - x - 1, matching
+    BoxList.transpose) — used alone when the flipped canvas itself is
+    already cached device-side (data/device_cache.py)."""
+    nw = size_hw[1]
+    flipped = boxes.copy()
+    if flipped.size:
+        x1 = nw - boxes[:, 2] - 1.0
+        x2 = nw - boxes[:, 0] - 1.0
+        flipped[:, 0], flipped[:, 2] = x1, x2
+    return flipped
+
+
 def hflip(image_canvas: np.ndarray, size_hw, boxes: np.ndarray):
     """Horizontal flip inside the valid region (x → w - x - 1, matching
     BoxList.transpose)."""
     nh, nw = size_hw
     out = image_canvas.copy()
     out[:nh, :nw] = out[:nh, :nw][:, ::-1]
-    flipped = boxes.copy()
-    if flipped.size:
-        x1 = nw - boxes[:, 2] - 1.0
-        x2 = nw - boxes[:, 0] - 1.0
-        flipped[:, 0], flipped[:, 2] = x1, x2
-    return out, flipped
+    return out, hflip_boxes(size_hw, boxes)
 
 
 def normalize(image_canvas: np.ndarray, pixel_mean, to_bgr255: bool = True):

@@ -141,6 +141,34 @@ def _device_normalize(cfg):
     )
 
 
+def _make_pixel_bank(cfg, mesh, source, logger=None):
+    """Device-resident canvas bank for the train pixel plane (see
+    data/device_cache.py).  None when disabled, multi-process, or the
+    recipe jitters (the loader gates on its own cache path anyway)."""
+    budget = float(cfg.TPU.get("DEVICE_CANVAS_CACHE_MB", 0))
+    if budget <= 0 or jax.process_count() > 1:
+        return None
+    from ..data.device_cache import DeviceCanvasBank
+    from ..parallel.mesh import batch_sharding
+
+    ms = cfg.INPUT.MIN_SIZE_TRAIN
+    n_scales = len(ms) if isinstance(ms, (list, tuple)) else 1
+    n_flip = 2 if float(cfg.INPUT.FLIP_PROB_TRAIN) > 0 else 1
+    hint = len(source) * max(n_scales, 1) * n_flip
+    bank = DeviceCanvasBank(
+        budget, tuple(cfg.TPU.CANVAS_TRAIN),
+        dual_orientation=bool(cfg.TPU.get("DUAL_ORIENTATION", True)),
+        out_sharding=batch_sharding(mesh), max_keys_hint=hint,
+    )
+    if logger is not None:
+        logger.info(
+            f"device canvas bank: {budget:.0f} MB/orientation "
+            f"(≤{hint} keys) — pixel batches assemble on device, only "
+            f"cache misses cross the host link (TPU.DEVICE_CANVAS_CACHE_MB)"
+        )
+    return bank
+
+
 def _missing_weight_fallback(fresh, why: str, logger):
     """A configured-but-missing weight file is a recipe divergence (the run
     would silently train from random init and wreck mAP), so it is an error
@@ -305,10 +333,13 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
     canvas = tuple(cfg.TPU.CANVAS_TRAIN)
 
     source = make_data_source(cfg, cfg.DATASETS.TRAIN[0], "train_new")
+    px_bank = _make_pixel_bank(cfg, mesh, source, logger)
     loader = DetectionLoader(
         source, cfg, is_train=True, seed=int(cfg.SEED), normalize="device",
+        pixel_bank=px_bank,
         **_shard_kwargs(int(cfg.SOLVER.IMS_PER_BATCH)),
     )
+    px_bank = loader.pixel_bank  # loader drops the bank when jitter is on
     norm_px = _device_normalize(cfg)
     max_iter = int(max_iter_override or cfg.SOLVER.MAX_ITER)
     checkpoint_period = int(cfg.SOLVER.CHECKPOINT_PERIOD)
@@ -325,8 +356,13 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
         remaining = max(max_iter - start_iter, 0)
         for it, batch in enumerate(loader.prefetched(max_batches=remaining),
                                    start_iter + 1):
-            g = shard_batch(mesh, batch)
-            g = g._replace(pixels=norm_px(g.pixels))
+            if px_bank is not None:
+                batch, keys, canvases = batch
+                g = shard_batch(mesh, batch)  # pixels=None passes through
+                g = g._replace(pixels=norm_px(px_bank.batch(keys, canvases)))
+            else:
+                g = shard_batch(mesh, batch)
+                g = g._replace(pixels=norm_px(g.pixels))
             state, metrics = train_step(state, g)
             _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
@@ -398,9 +434,11 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         mem_path = mem.current_mem_path or mem.first_mem_path
         bank = load_crop_bank(mem_path, tuple(cfg_target.TPU.CROP_BANK_HW))
         fuse = make_abr_batch_fn(cfg_target, bank)
+        px_bank = _make_pixel_bank(cfg_target, mesh, source, logger)
         loader = DetectionLoader(source, cfg_target, is_train=True,
                                  seed=int(cfg_target.SEED), normalize=False,
-                                 **shard_kw)
+                                 pixel_bank=px_bank, **shard_kw)
+        px_bank = loader.pixel_bank
 
         def batch_iter():
             # background-thread the host decode/resize so it overlaps the
@@ -434,14 +472,22 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
                         raise error[0]
                     return
                 k, sub = jax.random.split(k)
-                yield fuse(*[jnp.asarray(x) for x in raw], sub)
+                if px_bank is not None:
+                    raw, keys, canvases = raw
+                    px = px_bank.batch(keys, canvases)
+                    yield fuse(px, *[jnp.asarray(x) for x in raw[1:]], sub)
+                else:
+                    yield fuse(*[jnp.asarray(x) for x in raw], sub)
 
         batches = batch_iter()
         norm_px = None  # the fused batch is already normalized on device
     else:
+        px_bank = _make_pixel_bank(cfg_target, mesh, source, logger)
         loader = DetectionLoader(source, cfg_target, is_train=True,
                                  seed=int(cfg_target.SEED),
-                                 normalize="device", **shard_kw)
+                                 normalize="device",
+                                 pixel_bank=px_bank, **shard_kw)
+        px_bank = loader.pixel_bank
         batches = loader.prefetched(max_batches=max_iter)
         norm_px = _device_normalize(cfg_target)
 
@@ -471,9 +517,14 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         for it, batch in enumerate(batches, start_iter + 1):
             if it > max_iter:
                 break
-            g = shard_batch(mesh, batch)
-            if norm_px is not None:
-                g = g._replace(pixels=norm_px(g.pixels))
+            if norm_px is not None and px_bank is not None:
+                batch, keys, canvases = batch
+                g = shard_batch(mesh, batch)
+                g = g._replace(pixels=norm_px(px_bank.batch(keys, canvases)))
+            else:
+                g = shard_batch(mesh, batch)
+                if norm_px is not None:
+                    g = g._replace(pixels=norm_px(g.pixels))
             state, metrics = step_fn(state, teacher_params, g)
             _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:

@@ -1,0 +1,133 @@
+"""Device-resident canvas bank (data/device_cache.DeviceCanvasBank).
+
+The bank replaces the per-iteration host→device pixel upload with an
+on-device gather over HBM-cached canvases; these tests pin that the
+assembled pixel batches are BYTE-equal to the plain streaming loader in
+every mode the train drivers use (uint8 "device"-normalize and the raw
+ABR path), across epochs (hits), flips, multi-scale draws, dual
+orientation, and under eviction pressure.
+"""
+
+import numpy as np
+import pytest
+
+from abr_iod_tpu.config import VOC_CLASSES, get_default_config
+from abr_iod_tpu.data.device_cache import DeviceCanvasBank
+from abr_iod_tpu.data.loader import DetectionLoader
+from abr_iod_tpu.data.synthetic import make_synthetic_voc
+from abr_iod_tpu.data.voc import VOCDataSource
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc_bank") / "VOC2007")
+    # mixed portrait/landscape sizes so dual orientation produces BOTH
+    # canvas shapes (make_synthetic_voc draws varied aspect ratios)
+    make_synthetic_voc(root, n_images=10, classes=VOC_CLASSES[:6],
+                       image_hw=(120, 160))
+    return root
+
+
+def _cfg():
+    cfg = get_default_config()
+    cfg.TPU.CANVAS_TRAIN = (128, 160)
+    cfg.INPUT.MIN_SIZE_TRAIN = (96, 112)  # multi-scale draws exercised
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    cfg.TPU.MAX_GT = 8
+    return cfg
+
+
+def _bank(budget_mb=64, hint=None):
+    return DeviceCanvasBank(budget_mb, (128, 160), dual_orientation=True,
+                            max_keys_hint=hint)
+
+
+def _collect_plain(src, cfg, n, normalize):
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize=normalize, seed=3)
+    return list(loader.batches(max_batches=n))
+
+
+def _collect_banked(src, cfg, n, normalize, bank):
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize=normalize, seed=3, pixel_bank=bank)
+    assert loader.pixel_bank is bank
+    out = []
+    for batch, keys, canvases in loader.batches(max_batches=n):
+        assert batch.pixels is None
+        pixels = np.asarray(bank.batch(keys, canvases))
+        out.append((batch._replace(pixels=pixels), keys, canvases))
+    return out
+
+
+@pytest.mark.parametrize("budget_mb", [64, 0.2])
+def test_bank_bit_identical(voc_root, budget_mb):
+    """Banked pixel batches == streamed batches, with a generous budget
+    (everything hits after epoch 1) and under eviction pressure (0.2 MB
+    ≈ 3 slots, constant eviction + direct-ship fallback)."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    n = 8  # 10 imgs / batch 4 → >3 epochs
+    base = _collect_plain(src, cfg, n, "device")
+    bank = _bank(budget_mb)
+    banked = _collect_banked(src, cfg, n, "device", bank)
+    for a, (b, _, _) in zip(base, banked):
+        np.testing.assert_array_equal(a.pixels, b.pixels)
+        np.testing.assert_array_equal(a.sizes, b.sizes)
+        np.testing.assert_array_equal(a.gt_boxes, b.gt_boxes)
+        np.testing.assert_array_equal(a.gt_labels, b.gt_labels)
+        np.testing.assert_array_equal(a.gt_mask, b.gt_mask)
+    stats = bank.stats()
+    assert stats["misses"] > 0
+    if budget_mb >= 64:
+        # with the full dataset banked, later epochs must be pure hits AND
+        # the loader must have skipped producing their pixel bytes
+        assert stats["hits"] > 0
+        tail_canvases = [c for _, _, cs in banked[-2:] for c in cs]
+        assert any(c is None for c in tail_canvases)
+
+
+def test_bank_raw_batches_abr_path(voc_root):
+    """The ABR raw-batch plane (normalize=False, fused on device) gets
+    the same treatment: banked pixels byte-equal to streamed."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize=False, seed=5)
+    base = [b for _, b in zip(range(6), loader.raw_batches())]
+    bank = _bank()
+    loader_b = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                               normalize=False, seed=5, pixel_bank=bank)
+    it = loader_b.raw_batches()
+    for exp in base:
+        raw, keys, canvases = next(it)
+        assert raw[0] is None
+        pixels = np.asarray(bank.batch(keys, canvases))
+        np.testing.assert_array_equal(exp[0], pixels)
+        for e, g in zip(exp[1:], raw[1:]):
+            np.testing.assert_array_equal(e, g)
+
+
+def test_bank_disabled_when_jitter_on(voc_root):
+    cfg = _cfg()
+    cfg.INPUT.BRIGHTNESS = 0.2  # jitter ⇒ host cache (and bank) must bypass
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize="device", seed=3, pixel_bank=_bank())
+    assert loader.pixel_bank is None
+    b = next(iter(loader.batches(max_batches=1)))
+    assert b.pixels is not None  # plain Batch, not the banked triple
+
+
+def test_bank_zero_capacity_ships_direct():
+    """A bank whose budget can't hold one canvas still produces correct
+    batches via the direct-upload path."""
+    bank = DeviceCanvasBank(0.01, (128, 160))  # < one 60 KB canvas? no: 128*160*3=60KB, 0.01MB=10KB
+    keys = [(i, 96, (128, 160), False) for i in range(2)]
+    canvases = [np.full((128, 160, 3), i + 1, np.uint8) for i in range(2)]
+    out = np.asarray(bank.batch(keys, canvases))
+    np.testing.assert_array_equal(out, np.stack(canvases))
+    assert bank.stats()["entries"].get((128, 160), 0) == 0

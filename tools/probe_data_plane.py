@@ -67,13 +67,22 @@ def main():
                              normalize="device")
 
     # --- 1. host prep: first pass fills the canvas cache, second measures
-    # the warm path.  No device involved.
+    # the warm path.  No device involved.  Batches are NOT retained:
+    # holding every 27 MB pixel batch alive forces a fresh mmap (and its
+    # page-fault storm) per np.stack, inflating prep ~5x vs the real
+    # loop, where freed batches let glibc recycle the same arena block.
+    def drain(it, keep_last=False):
+        last = None
+        for b in it:
+            last = b if keep_last else None
+        return last
+
     t0 = time.time()
-    cold = [b for _, b in zip(range(n), loader.batches())]
-    t_cold = (time.time() - t0) / len(cold)
+    drain(loader.batches(max_batches=n))
+    t_cold = (time.time() - t0) / n
     t0 = time.time()
-    warm = [b for _, b in zip(range(n), loader.batches())]
-    t_warm = (time.time() - t0) / len(warm)
+    last = drain(loader.batches(max_batches=n), keep_last=True)
+    t_warm = (time.time() - t0) / n
     print(f"host prep  cold: {t_cold*1e3:8.1f} ms/batch "
           f"({t_cold*1e3/args.batch:.1f} ms/img)")
     print(f"host prep  warm: {t_warm*1e3:8.1f} ms/batch "
@@ -82,13 +91,13 @@ def main():
     # --- 2. H2D upload, blocked (no compute in flight)
     mesh = _mesh_from_cfg(cfg, args.batch)
     with jax.sharding.set_mesh(mesh):
-        batch = warm[0]
+        batch = last
         nbytes = sum(np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(batch))
         g = shard_batch(mesh, batch)  # once for allocation warmup
         jax.block_until_ready(g.pixels)
         t0 = time.time()
-        for b in warm[:n]:
-            g = shard_batch(mesh, b)
+        for _ in range(n):
+            g = shard_batch(mesh, batch)
             jax.block_until_ready(g.pixels)
         t_h2d = (time.time() - t0) / n
         print(f"H2D upload      : {t_h2d*1e3:8.1f} ms/batch "
@@ -114,22 +123,105 @@ def main():
         t_dev = (time.time() - t0) / n
         print(f"device step     : {t_dev*1e3:8.1f} ms/iter")
 
-        # --- 4. the real loop (prefetch + put + dispatch), as the CLI runs
+        # --- 4. the real loop (prefetch + put + dispatch), as the CLI runs,
+        # with per-phase attribution: wait-on-prefetch / shard_batch /
+        # normalize+step dispatch (all non-blocking dispatch; the device
+        # backpressures through donation)
         it = loader.prefetched(max_batches=n + 2)
         b0 = next(it)  # spin up prefetch thread
         g = shard_batch(mesh, b0)
         state, m = train_step(state, g._replace(pixels=norm(g.pixels)))
         t0 = time.time()
         k = 0
-        for b in it:
+        t_next = t_put = t_disp = 0.0
+        while True:
+            ta = time.time()
+            try:
+                b = next(it)
+            except StopIteration:
+                break
+            tb = time.time()
             g = shard_batch(mesh, b)
+            tc = time.time()
             state, m = train_step(state, g._replace(pixels=norm(g.pixels)))
+            td = time.time()
+            t_next += tb - ta
+            t_put += tc - tb
+            t_disp += td - tc
             k += 1
+            if k % 10 == 0:
+                print(f"    iter {k}: next {1e3*(tb-ta):.1f} put "
+                      f"{1e3*(tc-tb):.1f} disp {1e3*(td-tc):.1f} ms")
+        td0 = time.time()
         jax.block_until_ready(m["loss"])
+        t_drain = time.time() - td0
         t_loop = (time.time() - t0) / max(k, 1)
+        k = max(k, 1)
+        print(f"  final drain   : {t_drain*1e3:8.1f} ms "
+              f"({t_drain*1e3/k:.1f} ms/iter amortized)")
         print(f"full loop       : {t_loop*1e3:8.1f} ms/iter "
               f"(overlap efficiency: "
               f"{(t_warm + t_h2d + t_dev)/max(t_loop,1e-9):.2f}x vs serial)")
+        print(f"  wait prefetch : {t_next/k*1e3:8.1f} ms/iter")
+        print(f"  shard_batch   : {t_put/k*1e3:8.1f} ms/iter")
+        print(f"  step dispatch : {t_disp/k*1e3:8.1f} ms/iter "
+              f"(incl. device backpressure)")
+
+        # --- 5. the same loop with PER-ITERATION sync.  Through a remote
+        # transport, a deep async queue of interleaved H2D + execute can
+        # degrade far below the sum of its parts (the drain above); a
+        # blocking loop bounds the queue at one step.
+        it = loader.prefetched(max_batches=n + 2)
+        b0 = next(it)
+        g = shard_batch(mesh, b0)
+        state, m = train_step(state, g._replace(pixels=norm(g.pixels)))
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        k = 0
+        for b in it:
+            g = shard_batch(mesh, b)
+            state, m = train_step(state, g._replace(pixels=norm(g.pixels)))
+            jax.block_until_ready(m["loss"])
+            k += 1
+        t_sync = (time.time() - t0) / max(k, 1)
+        print(f"sync loop       : {t_sync*1e3:8.1f} ms/iter "
+              f"(block_until_ready every step)")
+
+        # --- 6. the banked loop: device-resident canvas cache
+        # (TPU.DEVICE_CANVAS_CACHE_MB) — steady state ships only metadata
+        from abr_iod_tpu.engine.driver import _make_pixel_bank
+
+        px_bank = _make_pixel_bank(cfg, mesh, source)
+        if px_bank is None:
+            print("banked loop     : disabled "
+                  "(TPU.DEVICE_CANVAS_CACHE_MB=0 or multi-process)")
+            return
+        bloader = DetectionLoader(source, cfg, batch_size=args.batch,
+                                  is_train=True, seed=int(cfg.SEED),
+                                  normalize="device", pixel_bank=px_bank)
+        # warm epoch: fill the bank (miss uploads), then time steady state
+        for item in bloader.prefetched(max_batches=n):
+            bb, keys, cv = item
+            jax.block_until_ready(px_bank.batch(keys, cv))
+        it = bloader.prefetched(max_batches=n + 2)
+        bb, keys, cv = next(it)
+        g = shard_batch(mesh, bb)
+        g = g._replace(pixels=norm(px_bank.batch(keys, cv)))
+        state, m = train_step(state, g)
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        k = 0
+        for bb, keys, cv in it:
+            g = shard_batch(mesh, bb)
+            g = g._replace(pixels=norm(px_bank.batch(keys, cv)))
+            state, m = train_step(state, g)
+            jax.block_until_ready(m["loss"])
+            k += 1
+        t_bank = (time.time() - t0) / max(k, 1)
+        s = px_bank.stats()
+        print(f"banked loop     : {t_bank*1e3:8.1f} ms/iter "
+              f"(hit rate {s['hit_rate']:.2f}, "
+              f"{sum(s['entries'].values())} canvases banked)")
 
 
 if __name__ == "__main__":
