@@ -357,6 +357,8 @@ class DetectionLoader:
         With a pixel_bank attached, yields (Batch(pixels=None, ...), keys,
         canvases) instead — the caller assembles the pixel batch on device
         (canvases[i] is None for banked keys)."""
+        if max_batches is not None and max_batches <= 0:
+            return  # a finished job's rerun asks for zero batches
         count = 0
         for it, idxs in enumerate(self._index_batches()):
             loaded = self._load_many(

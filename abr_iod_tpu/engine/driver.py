@@ -595,34 +595,46 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     seg_predictions, seg_ground_truths = [], []
     n_done = 0
     t0 = time.time()
-    for batch, records, n_valid in loader.eval_batches():
-        out = eval_step(params, norm_px(jnp.asarray(batch.pixels)),
-                        jnp.asarray(batch.sizes))
-        if mask_on:
-            dets, mask_probs = out
-            det_kps = None
-        elif keypoint_on:
-            dets, det_kps = out
-            mask_probs = None
-        else:
-            dets, mask_probs, det_kps = out, None, None
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        labels = np.asarray(dets.labels)
-        valid = np.asarray(dets.valid)
-        # one device→host transfer for the whole batch of heatmaps (they
-        # are ~1000x larger than decoded keypoints; per-image np.asarray
-        # would pay the tunnel round-trip per image)
-        kp_maps_host = np.asarray(det_kps) if det_kps is not None else None
+
+    def _prefetch(it, depth=2):
+        """Background-thread prefetch (same contract as loader.prefetched:
+        worker exceptions re-raise in the consumer)."""
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        sentinel = object()
+        error: list = []
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+            except BaseException as e:  # noqa: BLE001 — propagated below
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        _threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+    def _consume(fetched, sizes, records, n_valid):
+        boxes, scores, labels, valid, mask_probs, kp_maps_host = fetched
         for i in range(n_valid):
             rec = records[i]
-            nh, nw = batch.sizes[i]
+            nh, nw = sizes[i]
             sx = rec["width"] / float(nw)
             sy = rec["height"] / float(nh)
             v = valid[i]
             b = boxes[i][v] * np.array([sx, sy, sx, sy])
             pred = {"boxes": b, "labels": labels[i][v], "scores": scores[i][v]}
-            if det_kps is not None:
+            if kp_maps_host is not None:
                 # exact reference decode (cv2 upsample + sub-bin argmax)
                 # on the NETWORK-frame boxes — the reference's Keypointer
                 # runs BEFORE the BoxList resize (so the cv2 grid uses the
@@ -650,7 +662,7 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                 hw = (int(rec["height"]), int(rec["width"]))
                 seg_predictions.append({
                     "masks": paste_masks_in_image(
-                        np.asarray(mask_probs[i])[v], b, hw,
+                        mask_probs[i][v], b, hw,
                         threshold=float(
                             cfg.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD
                         ),
@@ -664,11 +676,42 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                      "labels": rec["labels"],
                      "boxes": rec["boxes"]}
                 )
-        n_done += n_valid
-        # max_images is a GLOBAL cap: each process stops at its share so
-        # a multi-process gather still evaluates ~max_images total
-        if max_images and n_done >= -(-max_images // comm.get_world_size()):
-            break
+        return n_valid
+
+    # software-pipelined eval: the prefetch thread assembles batch k+1's
+    # canvases while eval_step(k) runs, and batch k's single device_get
+    # (ONE transfer for all result arrays) + host postprocess overlap
+    # eval_step(k+1).  The one-batch pending window also bounds the
+    # dispatch queue, which keeps slow transports well-behaved (see
+    # BASELINE.md round-4 data-plane notes).  The reference's eval loop
+    # is fully serial per image (engine/inference.py:43-101).
+    limit = (-(-max_images // comm.get_world_size())) if max_images else None
+    pending = None
+    stop = False
+    for batch, records, n_valid in _prefetch(loader.eval_batches()):
+        out = eval_step(params, norm_px(jnp.asarray(batch.pixels)),
+                        jnp.asarray(batch.sizes))
+        if mask_on:
+            dets, mask_probs = out
+            det_kps = None
+        elif keypoint_on:
+            dets, det_kps = out
+            mask_probs = None
+        else:
+            dets, mask_probs, det_kps = out, None, None
+        handle = (dets.boxes, dets.scores, dets.labels, dets.valid,
+                  mask_probs, det_kps)
+        if pending is not None:
+            n_done += _consume(jax.device_get(pending[0]), *pending[1:])
+            if n_done % 400 < pending[3]:
+                logger.info(f"eval progress: {n_done} images "
+                            f"({(time.time() - t0) / max(n_done, 1):.3f} s/img)")
+            if limit and n_done >= limit:
+                stop = True
+                break
+        pending = (handle, batch.sizes, records, n_valid)
+    if pending is not None and not stop:
+        n_done += _consume(jax.device_get(pending[0]), *pending[1:])
     # multi-host eval: gather per-host predictions (the reference's
     # all_gather was defined but disabled, engine/inference.py:136-137)
     if comm.get_world_size() > 1:

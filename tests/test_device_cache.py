@@ -122,6 +122,19 @@ def test_bank_disabled_when_jitter_on(voc_root):
     assert b.pixels is not None  # plain Batch, not the banked triple
 
 
+def test_loader_zero_max_batches_yields_nothing(voc_root):
+    """A finished job's rerun calls prefetched(max_batches=0): it must
+    yield NO batches (a stray batch costs a full train-step compile and
+    a spurious optimizer step at iteration max_iter+1)."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize="device", seed=3)
+    assert list(loader.batches(max_batches=0)) == []
+    assert list(loader.prefetched(max_batches=0)) == []
+
+
 def test_bank_zero_capacity_ships_direct():
     """A bank whose budget can't hold one canvas still produces correct
     batches via the direct-upload path."""
