@@ -703,7 +703,8 @@ def run_test(cfg, params=None, logger=None, max_images=None):
                   mask_probs, det_kps)
         if pending is not None:
             n_done += _consume(jax.device_get(pending[0]), *pending[1:])
-            if n_done % 400 < pending[3]:
+            if n_done <= pending[3] or n_done % 400 < pending[3]:
+                # first line ≈ compile + pipeline fill; later lines the rate
                 logger.info(f"eval progress: {n_done} images "
                             f"({(time.time() - t0) / max(n_done, 1):.3f} s/img)")
             if limit and n_done >= limit:

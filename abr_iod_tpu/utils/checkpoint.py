@@ -44,6 +44,22 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _tree_template(tree):
+    """Shape/dtype-only numpy skeleton of a pytree.  flax's from_bytes
+    needs a target with the right structure and leaf shapes, NOT the
+    values — materializing device arrays here (np.asarray) would
+    device→host transfer the entire params+optimizer state (~264 MB for
+    R-50-C4) just to overwrite it, which costs minutes on slow
+    host↔device links (BASELINE.md round-4 data-plane notes)."""
+
+    def conv(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return np.zeros(x.shape, x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(conv, tree)
+
+
 class Checkpointer:
     """Minimal checkpointer with a ``last_checkpoint`` pointer file."""
 
@@ -150,7 +166,7 @@ class Checkpointer:
             data = f.read()
         if template is None:
             return serialization.msgpack_restore(data)
-        return serialization.from_bytes(_tree_to_numpy(template), data)
+        return serialization.from_bytes(_tree_template(template), data)
 
     @staticmethod
     def load_file(path: str) -> Any:

@@ -24,6 +24,29 @@ def respect_jax_platforms_env() -> None:
         pass
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-user dir (or
+    ``JAX_COMPILATION_CACHE_DIR`` when set).  The fused train step takes
+    minutes to compile cold and the eval pipeline tens of seconds — with
+    the cache a re-invocation of any CLI tool starts in seconds.  The
+    reference has no analogue (CUDA kernels are AOT), so without this the
+    TPU tools pay a compile tax per process that the torch tools never
+    did."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "abr_iod_tpu", "jax_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every program regardless of compile time / size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # never fail a run over cache plumbing
+
+
 def maybe_init_distributed() -> None:
     """Multi-process launch hook — the reference's
     ``torch.distributed.launch`` + ``init_process_group(nccl)`` analogue

@@ -26,9 +26,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from abr_iod_tpu.utils.platform import respect_jax_platforms_env  # noqa: E402
+from abr_iod_tpu.utils.platform import (
+    enable_persistent_compile_cache, respect_jax_platforms_env)  # noqa: E402
 
 respect_jax_platforms_env()
+enable_persistent_compile_cache()
 
 
 def main():

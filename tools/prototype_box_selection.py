@@ -14,10 +14,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from abr_iod_tpu.utils.platform import (  # noqa: E402
-    maybe_init_distributed, respect_jax_platforms_env,
+    enable_persistent_compile_cache, maybe_init_distributed,
+    respect_jax_platforms_env,
 )
 
 respect_jax_platforms_env()
+enable_persistent_compile_cache()
 maybe_init_distributed()
 
 
