@@ -62,7 +62,12 @@ class DeviceCanvasBank:
         self._slots: Dict[tuple, "OrderedDict[Key, int]"] = {
             s: OrderedDict() for s in shapes}
         self._free: Dict[tuple, List[int]] = {}
-        self._pinned: set = set()
+        # key → pin count.  A COUNT, not a set: with prefetch depth ≥ 2
+        # the loader can promise the same key for several queued batches
+        # before the first of them is consumed; batch() releases exactly
+        # one pin per occurrence, so a promise made for a later batch
+        # survives earlier batches' eviction pressure.
+        self._pinned: Dict[Key, int] = {}
         self._lock = threading.Lock()
         self._gather = {}
         self._insert = {}
@@ -80,6 +85,7 @@ class DeviceCanvasBank:
     def _ensure_bank(self, shape: tuple):
         if shape in self._banks:
             return self._banks[shape] is not None
+        self._slots.setdefault(shape, OrderedDict())
         cap = self._capacity(shape)
         if cap <= 0:
             self._banks[shape] = None
@@ -87,10 +93,30 @@ class DeviceCanvasBank:
         import jax
         import jax.numpy as jnp
 
-        self._banks[shape] = jnp.zeros((cap,) + shape + (3,), jnp.uint8)
+        bank_sharding = None
+        if self.out_sharding is not None:
+            # shard the SLOT axis over the mesh's data axis: each device
+            # holds 1/n of the bank (no n× HBM replication) and the batch
+            # gather rides ICI — ~27 MB per batch-8 step, negligible.
+            mesh = self.out_sharding.mesh
+            n_data = mesh.shape.get("data", 1)
+            if n_data > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cap -= cap % n_data  # slot axis must divide evenly
+                if cap <= 0:
+                    self._banks[shape] = None
+                    return False
+                bank_sharding = NamedSharding(mesh, P("data"))
+        zeros = jnp.zeros((cap,) + shape + (3,), jnp.uint8)
+        if bank_sharding is not None:
+            zeros = jax.device_put(zeros, bank_sharding)
+        self._banks[shape] = zeros
         self._free[shape] = list(range(cap - 1, -1, -1))
+        ins_kw = ({"out_shardings": bank_sharding}
+                  if bank_sharding is not None else {})
         self._insert[shape] = jax.jit(
-            lambda b, c, s: b.at[s].set(c), donate_argnums=0)
+            lambda b, c, s: b.at[s].set(c), donate_argnums=0, **ins_kw)
         kw = ({"out_shardings": self.out_sharding}
               if self.out_sharding is not None else {})
         self._gather[shape] = jax.jit(lambda b, i: b[i], **kw)
@@ -107,7 +133,7 @@ class DeviceCanvasBank:
             if slots is None or key not in slots:
                 return False
             slots.move_to_end(key)
-            self._pinned.add(key)
+            self._pinned[key] = self._pinned.get(key, 0) + 1
             return True
 
     # ------------------------------------------------------------ assembly
@@ -128,8 +154,13 @@ class DeviceCanvasBank:
             slots = self._slots[shape]
             # every key of THIS batch stays pinned until the gather below:
             # a later miss in the same batch must not evict a slot that
-            # idx[] already points at (hit or fresh insert alike)
-            self._pinned.update(keys)
+            # idx[] already points at (hit or fresh insert alike).  For
+            # occurrences the loader skipped (canvas None) the promise pin
+            # taken by contains() doubles as the batch pin; the rest take
+            # a fresh pin here.  finally releases one pin per occurrence.
+            for key, canvas in zip(keys, canvases):
+                if canvas is not None:
+                    self._pinned[key] = self._pinned.get(key, 0) + 1
             for i, (key, canvas) in enumerate(zip(keys, canvases)):
                 slot = slots.get(key) if banked else None
                 if slot is not None:
@@ -164,7 +195,12 @@ class DeviceCanvasBank:
                     np.stack([c for _, c in direct]), self.out_sharding)
         finally:
             with self._lock:
-                self._pinned.difference_update(keys)
+                for key in keys:
+                    c = self._pinned.get(key, 0) - 1
+                    if c > 0:
+                        self._pinned[key] = c
+                    else:
+                        self._pinned.pop(key, None)
         return out
 
     def _alloc_slot(self, shape: tuple, slots: "OrderedDict[Key, int]"):

@@ -31,6 +31,61 @@ from ..structures.boxes import pad_boxes
 from . import transforms as T
 
 
+def prefetch_iter(it, depth: int = 2):
+    """Background-thread prefetch over any iterator.
+
+    Contract shared by every consumer (train loops, eval loop):
+      * worker exceptions re-raise in the consumer — a dead producer must
+        fail the run, not end it silently as if the stream completed;
+      * closing the generator early (break / .close()) signals the worker
+        to stop and drains the queue, so no thread is left blocked on
+        q.put holding batch buffers alive.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    stop = threading.Event()
+    error: list = []
+
+    def worker():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 — propagated below
+            error.append(e)
+        finally:
+            while not stop.is_set():  # deliver sentinel unless consumer left
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a worker mid-put and drop its buffers
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
 class DetectionLoader:
     def __init__(
         self,
@@ -97,7 +152,11 @@ class DetectionLoader:
             for k in ("BRIGHTNESS", "CONTRAST", "SATURATION", "HUE")
         )
         budget_mb = float(cfg.TPU.get("CANVAS_CACHE_MB", 20480))
-        self._cache_budget = 0 if jitter_on else int(budget_mb * 2 ** 20)
+        # the cache only pays on multi-epoch (train) streams; eval/sampling
+        # visit each image once, so caching would grow RSS by the whole
+        # test set's canvases for zero hits
+        self._cache_budget = (
+            0 if (jitter_on or not is_train) else int(budget_mb * 2 ** 20))
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_lock = threading.Lock()
@@ -105,8 +164,11 @@ class DetectionLoader:
         # when set, _load_one skips producing pixel bytes for banked keys
         # and batches()/raw_batches() yield (item, keys, canvases) triples
         # for device-side assembly.  Requires the host cache path (jitter
-        # off) since bank keys mirror host-cache keys.
-        self.pixel_bank = pixel_bank if self._cache_budget > 0 else None
+        # off, train) since bank keys mirror host-cache keys, and uint8
+        # canvases (normalize=True ships host-normalized f32 — unbankable).
+        self.pixel_bank = (
+            pixel_bank
+            if self._cache_budget > 0 and normalize is not True else None)
         # (index, min_size, canvas) → (size_hw, boxes): tiny, unbounded —
         # survives canvas-LRU eviction so bank hits never need the pixels
         self._meta_cache: dict = {}
@@ -382,31 +444,8 @@ class DetectionLoader:
                 return
 
     def prefetched(self, max_batches: Optional[int] = None, depth: int = 2):
-        """Background-thread prefetch wrapper.  Worker exceptions are
-        re-raised in the consumer — a dead loader must fail the run, not
-        silently end it as if training completed."""
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
-        sentinel = object()
-        error: list = []
-
-        def worker():
-            try:
-                for b in self.batches(max_batches):
-                    q.put(b)
-            except BaseException as e:  # noqa: BLE001 — propagated below
-                error.append(e)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        """Background-thread prefetch over batches() (see prefetch_iter)."""
+        return prefetch_iter(self.batches(max_batches), depth=depth)
 
     def raw_batches(self) -> Iterator[tuple]:
         """ABR path: yields (pixels_raw [B,H,W,3] RGB 0-255, sizes,

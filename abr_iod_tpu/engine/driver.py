@@ -443,34 +443,13 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         def batch_iter():
             # background-thread the host decode/resize so it overlaps the
             # device step (the reference used DataLoader worker processes)
-            import queue as _queue
-            import threading as _threading
+            from itertools import islice
 
-            q: "_queue.Queue" = _queue.Queue(maxsize=int(cfg_target.TPU.PREFETCH_DEPTH))
-            sentinel = object()
-            error: list = []
+            from ..data.loader import prefetch_iter
 
-            def worker():
-                try:
-                    for i, raw in enumerate(loader.raw_batches()):
-                        if i >= max_iter:
-                            break
-                        q.put(raw)
-                except BaseException as e:  # noqa: BLE001 — propagated below
-                    error.append(e)
-                finally:
-                    q.put(sentinel)
-
-            _threading.Thread(target=worker, daemon=True).start()
             k = jax.random.PRNGKey(int(cfg_target.SEED) + 1)
-            while True:
-                raw = q.get()
-                if raw is sentinel:
-                    if error:
-                        # a dead data worker must fail the run, not end it
-                        # silently as if training completed
-                        raise error[0]
-                    return
+            for raw in prefetch_iter(islice(loader.raw_batches(), max_iter),
+                                     depth=int(cfg_target.TPU.PREFETCH_DEPTH)):
                 k, sub = jax.random.split(k)
                 if px_bank is not None:
                     raw, keys, canvases = raw
@@ -596,34 +575,6 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     n_done = 0
     t0 = time.time()
 
-    def _prefetch(it, depth=2):
-        """Background-thread prefetch (same contract as loader.prefetched:
-        worker exceptions re-raise in the consumer)."""
-        import queue as _queue
-        import threading as _threading
-
-        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-        sentinel = object()
-        error: list = []
-
-        def worker():
-            try:
-                for item in it:
-                    q.put(item)
-            except BaseException as e:  # noqa: BLE001 — propagated below
-                error.append(e)
-            finally:
-                q.put(sentinel)
-
-        _threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
-
     def _consume(fetched, sizes, records, n_valid):
         boxes, scores, labels, valid, mask_probs, kp_maps_host = fetched
         for i in range(n_valid):
@@ -688,7 +639,9 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     limit = (-(-max_images // comm.get_world_size())) if max_images else None
     pending = None
     stop = False
-    for batch, records, n_valid in _prefetch(loader.eval_batches()):
+    from ..data.loader import prefetch_iter
+
+    for batch, records, n_valid in prefetch_iter(loader.eval_batches()):
         out = eval_step(params, norm_px(jnp.asarray(batch.pixels)),
                         jnp.asarray(batch.sizes))
         if mask_on:

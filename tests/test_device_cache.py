@@ -122,6 +122,68 @@ def test_bank_disabled_when_jitter_on(voc_root):
     assert b.pixels is not None  # plain Batch, not the banked triple
 
 
+def test_promise_pin_survives_interleaved_eviction():
+    """contains() promises are per-occurrence pins: with prefetch depth
+    ≥ 2 a key can be promised for batch k+2 before batch k+1 runs; the
+    eviction pressure of k+1's misses must not evict the promised slot
+    (a broken promise means the loader produced no canvas and batch()
+    would crash)."""
+    shape = (64, 64)
+    bank = DeviceCanvasBank(3 * 64 * 64 * 3 / 2**20, shape,
+                            dual_orientation=False)  # 3 slots
+    mk = lambda i: np.full(shape + (3,), i % 255, np.uint8)
+    k = lambda i: (i, 96, shape, False)
+    # fill: keys 0,1,2 banked; key 0 is the LRU
+    bank.batch([k(0), k(1), k(2)], [mk(0), mk(1), mk(2)])
+    # loader thread promises key 0 for a FUTURE batch
+    assert bank.contains(k(0))
+    # an interleaved batch of misses forces eviction — must skip key 0
+    bank.batch([k(3), k(4), k(5)], [mk(3), mk(4), mk(5)])
+    # the promised batch arrives with NO canvas for key 0 — must not crash
+    out = np.asarray(bank.batch([k(0)], [None]))
+    np.testing.assert_array_equal(out[0], mk(0))
+    # all pins released afterwards
+    assert not bank._pinned
+
+
+def test_bank_dropped_for_host_normalized_loader(voc_root):
+    """normalize=True ships host-normalized f32 canvases — unbankable;
+    the constructor must drop the bank instead of batches() yielding
+    keys=None triples that crash DeviceCanvasBank.batch."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize=True, seed=3, pixel_bank=_bank())
+    assert loader.pixel_bank is None
+    b = next(iter(loader.batches(max_batches=1)))
+    assert b.pixels is not None and b.pixels.dtype == np.float32
+
+
+def test_eval_loader_disables_host_cache(voc_root):
+    """Eval streams are single-pass: caching their canvases only grows
+    RSS (up to the whole test set) for zero hits."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "test", "test_all", (),
+                        VOC_CLASSES[:6], ())
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=False)
+    assert loader._cache_budget == 0
+    for _batch in loader.eval_batches():
+        pass
+    assert len(loader._cache) == 0
+
+
+def test_unknown_shape_key_falls_back_direct():
+    """A key whose canvas shape was not declared at construction must
+    still produce a correct batch (lazily banked or shipped direct),
+    not KeyError on the missing slot table."""
+    bank = DeviceCanvasBank(64, (64, 64), dual_orientation=False)
+    odd = (48, 80)
+    canvases = [np.full(odd + (3,), 7, np.uint8)]
+    out = np.asarray(bank.batch([(0, 96, odd, False)], canvases))
+    np.testing.assert_array_equal(out[0], canvases[0])
+
+
 def test_loader_zero_max_batches_yields_nothing(voc_root):
     """A finished job's rerun calls prefetched(max_batches=0): it must
     yield NO batches (a stray batch costs a full train-step compile and

@@ -240,7 +240,7 @@ def test_roi_head_chunked_equals_monolithic(rng):
     cfg_chunk.TPU.ROI_HEAD_CHUNK = 4  # 10 RoIs → chunks of 4,4,2 (ragged)
     model_chunk = build_detection_model(cfg_chunk)
     # identical param tree: chunking shares the same submodule instances
-    jax.tree_util.tree_all(jax.tree_util.tree_map(
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
         lambda a, b: a.shape == b.shape, params,
         jax.jit(model_chunk.init)(jax.random.PRNGKey(0), px, rois)))
 
