@@ -197,6 +197,29 @@ def test_loader_zero_max_batches_yields_nothing(voc_root):
     assert list(loader.prefetched(max_batches=0)) == []
 
 
+def test_bank_sharded_over_data_axis_bit_identical(voc_root):
+    """On a multi-device mesh the bank's SLOT axis shards over 'data'
+    (no per-device replication); gathers must still be byte-equal to the
+    streamed loader, including capacity rounded to mesh divisibility."""
+    import jax
+    from abr_iod_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    mesh = make_mesh(n_data=4)  # batch 4 shards 1/device like the driver
+    base = _collect_plain(src, cfg, 6, "device")
+    with jax.sharding.set_mesh(mesh):
+        bank = DeviceCanvasBank(64, (128, 160), dual_orientation=True,
+                                out_sharding=batch_sharding(mesh))
+        banked = _collect_banked(src, cfg, 6, "device", bank)
+    for a, (b, _, _) in zip(base, banked):
+        np.testing.assert_array_equal(a.pixels, b.pixels)
+    arr = next(v for v in bank._banks.values() if v is not None)
+    assert arr.shape[0] % 4 == 0  # slot axis divisible over the mesh
+    assert not arr.sharding.is_fully_replicated
+
+
 def test_bank_zero_capacity_ships_direct():
     """A bank whose budget can't hold one canvas still produces correct
     batches via the direct-upload path."""
