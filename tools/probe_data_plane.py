@@ -33,13 +33,103 @@ respect_jax_platforms_env()
 enable_persistent_compile_cache()
 
 
+def probe_eval(args):
+    """Eval-plane decomposition: host prep / resident eval_step / the
+    serial upload+eval+readback chain / the driver's pipelined loop."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.data.loader import DetectionLoader, prefetch_iter
+    from abr_iod_tpu.engine.driver import (
+        _device_normalize, _mesh_from_cfg, _shard_kwargs, load_params,
+        make_data_source,
+    )
+    from abr_iod_tpu.engine.inference import make_eval_step
+    from abr_iod_tpu.models.build import build_detection_model
+
+    cfg = get_default_config()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.TEST.IMS_PER_BATCH = args.batch
+    cfg.freeze()
+    canvas = tuple(cfg.TPU.CANVAS_TEST)
+    source = make_data_source(cfg, cfg.DATASETS.TEST[0], "test_all")
+    mesh = _mesh_from_cfg(cfg, args.batch)
+
+    def loader():
+        return DetectionLoader(source, cfg, is_train=False, canvas=canvas,
+                               flip=False, normalize="device",
+                               **_shard_kwargs(args.batch))
+
+    norm = _device_normalize(cfg)
+    with jax.sharding.set_mesh(mesh):
+        model = build_detection_model(cfg)
+        params = load_params(cfg, model)
+        eval_step, _ = make_eval_step(model, cfg, canvas)
+        t0 = time.time()
+        batches = []
+        for batch, _records, _nv in loader().eval_batches():
+            batches.append(batch)
+            if len(batches) >= args.iters:
+                break
+        print(f"host prep       : {(time.time()-t0)/len(batches)*1e3:8.1f} "
+              f"ms/batch")
+        b0 = batches[0]
+        px = norm(jnp.asarray(b0.pixels))
+        sz = jnp.asarray(b0.sizes)
+        jax.block_until_ready(px)
+        t0 = time.time()
+        out = eval_step(params, px, sz)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        print(f"compile + first : {time.time()-t0:8.1f} s")
+        t0 = time.time()
+        for _ in range(10):
+            out = eval_step(params, px, sz)
+        jax.block_until_ready(jax.tree_util.tree_leaves(out))
+        print(f"eval resident   : {(time.time()-t0)/10*1e3:8.1f} ms/batch "
+              f"({args.batch/((time.time()-t0)/10):.0f} img/s/chip)")
+        t0 = time.time()
+        for batch in batches:
+            out = eval_step(params, norm(jnp.asarray(batch.pixels)),
+                            jnp.asarray(batch.sizes))
+            jax.device_get(jax.tree_util.tree_leaves(out))
+        dt = (time.time() - t0) / len(batches)
+        print(f"serial chain    : {dt*1e3:8.1f} ms/batch "
+              f"(upload+eval+readback, {dt/args.batch*1e3:.0f} ms/img)")
+        # the driver's software pipeline (prefetch + one-batch pending)
+        pending = None
+        k = 0
+        t0 = time.time()
+        for batch, _r, _nv in prefetch_iter(loader().eval_batches()):
+            out = eval_step(params, norm(jnp.asarray(batch.pixels)),
+                            jnp.asarray(batch.sizes))
+            if pending is not None:
+                jax.device_get(jax.tree_util.tree_leaves(pending))
+                k += 1
+            pending = out
+            if k >= args.iters:
+                break
+        if pending is not None:
+            jax.device_get(jax.tree_util.tree_leaves(pending))
+            k += 1
+        dt = (time.time() - t0) / max(k, 1)
+        print(f"pipelined loop  : {dt*1e3:8.1f} ms/batch "
+              f"({dt/args.batch*1e3:.0f} ms/img)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--config-file", required=True)
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--mode", choices=("train", "eval"), default="train")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args()
+    if args.mode == "eval":
+        return probe_eval(args)
 
     import jax
     import numpy as np
