@@ -1,0 +1,60 @@
+"""prefetch_iter contract tests (data/loader.py).
+
+Three consumers share this helper (train prefetch, incremental ABR
+batch_iter, the pipelined eval loop); these tests pin the contract the
+driver relies on: order preservation, error propagation, and that an
+early break releases the worker thread instead of leaving it blocked on
+a full queue holding batch buffers.
+"""
+
+import threading
+import time
+
+import pytest
+
+from abr_iod_tpu.data.loader import prefetch_iter
+
+
+def test_order_and_completion():
+    assert list(prefetch_iter(iter(range(50)), depth=3)) == list(range(50))
+
+
+def test_producer_error_reraises():
+    def gen():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch_iter(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)
+
+
+def test_early_close_releases_worker():
+    """Breaking out of the consumer loop must unblock a producer stuck
+    mid-put and let its thread exit (previously the daemon thread stayed
+    blocked forever, pinning queued pixel batches)."""
+    started = threading.Event()
+    finished = threading.Event()
+
+    def gen():
+        started.set()
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            finished.set()
+
+    it = prefetch_iter(gen(), depth=1)
+    assert next(it) == 0
+    started.wait(2)
+    it.close()  # what an early `break` triggers at GC time
+    # the worker notices the stop event within its 0.2 s put timeout
+    deadline = time.time() + 5
+    while not finished.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    assert finished.is_set(), "producer thread still blocked after close"
+
+
+def test_zero_items():
+    assert list(prefetch_iter(iter(()), depth=2)) == []
