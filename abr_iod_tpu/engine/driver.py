@@ -493,6 +493,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         )
         meters = MetricLogger()
         t0 = time.time()
+        last = t0
         for it, batch in enumerate(batches, start_iter + 1):
             if it > max_iter:
                 break
@@ -508,6 +509,9 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
             _maybe_profile(it, logger)
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
+                now = time.time()
+                m["time"] = (now - last) / min(20, it)
+                last = now
                 meters.update(**m)
                 if it % 100 == 0 or it == max_iter:
                     logger.info(f"iter {it}/{max_iter}  {meters}")
