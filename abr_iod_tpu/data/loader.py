@@ -109,6 +109,17 @@ class DetectionLoader:
         self.cfg = cfg
         self.batch_size = batch_size
         self.is_train = is_train
+        if is_train and len(source) == 0:
+            # _indices() cycles epochs forever for train streams, so an
+            # empty source would spin without ever yielding — surface the
+            # misconfiguration (wrong class lists / dataset name) loudly
+            # instead (the reference's RandomSampler raises the same way).
+            raise ValueError(
+                "empty training dataset "
+                f"({type(source).__name__}, root={getattr(source, 'root', '?')}): "
+                "no images match the configured class lists — check "
+                "DATASETS.TRAIN and MODEL.ROI_BOX_HEAD.NAME_*_CLASSES"
+            )
         self.max_gt = max_gt or int(cfg.TPU.MAX_GT)
         self.canvas = tuple(canvas or (cfg.TPU.CANVAS_TRAIN if is_train else cfg.TPU.CANVAS_TEST))
         self.dual_orientation = bool(cfg.TPU.get("DUAL_ORIENTATION", True))

@@ -264,3 +264,23 @@ def test_device_normalize_matches_host_normalize(voc_root):
             bh.pixels, np.asarray(norm(jnp.asarray(bd.pixels)))
         )
         np.testing.assert_array_equal(bh.gt_boxes, bd.gt_boxes)
+
+
+def test_empty_train_source_raises(voc_root):
+    """An empty train stream must fail loudly: _indices() cycles epochs
+    forever for is_train, so a zero-image source (wrong class lists or
+    dataset name) would otherwise hang the CLI after the bank banner."""
+    # an imageset with no positive entries -> 0 matching images
+    cls = VOC_CLASSES[8]
+    for split in ("trainval", "test"):
+        with open(os.path.join(voc_root, "ImageSets", "Main",
+                               f"{cls}_{split}.txt"), "w") as f:
+            f.write("000001 -1\n")
+    src = VOCDataSource(voc_root, "trainval", "train_new", (), (cls,), ())
+    assert len(src) == 0
+    cfg = get_default_config()
+    with pytest.raises(ValueError, match="empty training dataset"):
+        DetectionLoader(src, cfg, batch_size=2, is_train=True)
+    # eval visits each image exactly once, so empty eval just yields nothing
+    loader = DetectionLoader(src, cfg, batch_size=2, is_train=False)
+    assert list(loader.batches()) == []
