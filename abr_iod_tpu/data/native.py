@@ -20,20 +20,36 @@ _lib = None
 _tried = False
 
 
+def _find_lib() -> Optional[str]:
+    """Installed-package build first (setup.py compiles csrc/abr_host.cpp
+    to abr_iod_tpu/_abrhost*.so), then the repo checkout's csrc/ build."""
+    import glob
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(os.path.join(pkg_dir, "_abrhost*.so")))
+    if hits:
+        return hits[0]
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    try:  # repo checkout with a toolchain: build on first use
+        subprocess.run(
+            ["make", "-C", _CSRC], check=True, capture_output=True, timeout=120
+        )
+    except Exception:
+        return None
+    return _LIB_PATH if os.path.exists(_LIB_PATH) else None
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _CSRC], check=True, capture_output=True, timeout=120
-            )
-        except Exception:
-            return None
+    path = _find_lib()
+    if path is None:
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
 
