@@ -54,7 +54,11 @@ def _base_cfg():
     cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = VOC_CLASSES[15:]
     cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 21
     cfg.TPU.CANVAS_TRAIN = CANVAS
-    cfg.SOLVER.BASE_LR = 0.002
+    # throughput benchmark, not a learning run: random-init + synthetic
+    # noise pixels at recipe LR diverge within the ~12 timed steps on the
+    # 256-ch FPN families (loss ~1e15), so default to a tame LR — it has
+    # no effect on step time (BENCH_MATRIX_LR to override)
+    cfg.SOLVER.BASE_LR = float(os.environ.get("BENCH_MATRIX_LR", "0.0002"))
     cfg.SOLVER.WARMUP_ITERS = 0
     return cfg
 
