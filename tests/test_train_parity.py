@@ -291,13 +291,13 @@ def _torch_incremental_step(t_student, t_teacher, images, anchors,
     total.backward()
     opt.step()
     return {
-        "loss_objectness": float(loss_objectness),
-        "loss_rpn_box_reg": float(loss_rpn_box),
-        "loss_classifier": float(loss_classifier),
-        "loss_box_reg": float(loss_box_reg),
-        "distillation_loss": float(distill),
-        "faster_rcnn_loss": float(frcnn),
-        "loss": float(total),
+        "loss_objectness": float(loss_objectness.detach()),
+        "loss_rpn_box_reg": float(loss_rpn_box.detach()),
+        "loss_classifier": float(loss_classifier.detach()),
+        "loss_box_reg": float(loss_box_reg.detach()),
+        "distillation_loss": float(distill.detach()),
+        "faster_rcnn_loss": float(frcnn.detach()),
+        "loss": float(total.detach()),
     }
 
 

@@ -184,15 +184,15 @@ def copy_flax_retinanet_params_to_torch(params, model: TorchRefRetinaNet):
     p = params["params"]
 
     def conv_w(tree):
-        return torch.from_numpy(np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+        return torch.from_numpy(np.array(tree["kernel"]).transpose(3, 2, 0, 1))
 
     def set_conv(dst, tree):
         dst.weight.copy_(conv_w(tree))
-        dst.bias.copy_(torch.from_numpy(np.asarray(tree["bias"])))
+        dst.bias.copy_(torch.from_numpy(np.array(tree["bias"])))
 
     def set_bn(dst, tree):
         for name in ("weight", "bias", "running_mean", "running_var"):
-            getattr(dst, name).copy_(torch.from_numpy(np.asarray(tree[name])))
+            getattr(dst, name).copy_(torch.from_numpy(np.array(tree[name])))
 
     def set_block(dst, tree):
         if dst.has_down:
@@ -262,15 +262,15 @@ def copy_flax_fpn_params_to_torch(params, model: TorchRefFPN):
     p = params["params"]
 
     def conv_w(tree):
-        return torch.from_numpy(np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+        return torch.from_numpy(np.array(tree["kernel"]).transpose(3, 2, 0, 1))
 
     def set_conv(dst, tree):
         dst.weight.copy_(conv_w(tree))
-        dst.bias.copy_(torch.from_numpy(np.asarray(tree["bias"])))
+        dst.bias.copy_(torch.from_numpy(np.array(tree["bias"])))
 
     def set_bn(dst, tree):
         for name in ("weight", "bias", "running_mean", "running_var"):
-            getattr(dst, name).copy_(torch.from_numpy(np.asarray(tree[name])))
+            getattr(dst, name).copy_(torch.from_numpy(np.array(tree[name])))
 
     def set_block(dst, tree):
         if dst.has_down:
@@ -306,11 +306,11 @@ def copy_flax_fpn_params_to_torch(params, model: TorchRefFPN):
         k6 = np.asarray(roi["fc6"]["kernel"]).reshape(pres, pres, c_fpn, res)
         k6 = k6.transpose(2, 0, 1, 3).reshape(c_fpn * pres * pres, res)
         model.fc6.weight.copy_(torch.from_numpy(k6.T.copy()))
-        model.fc6.bias.copy_(torch.from_numpy(np.asarray(roi["fc6"]["bias"])))
+        model.fc6.bias.copy_(torch.from_numpy(np.array(roi["fc6"]["bias"])))
         for dst, src in ((model.fc7, roi["fc7"]),
                          (model.cls_score, roi["cls_score"]),
                          (model.bbox_pred, roi["bbox_pred"])):
             dst.weight.copy_(
-                torch.from_numpy(np.asarray(src["kernel"]).T.copy()))
-            dst.bias.copy_(torch.from_numpy(np.asarray(src["bias"])))
+                torch.from_numpy(np.array(src["kernel"]).T.copy()))
+            dst.bias.copy_(torch.from_numpy(np.array(src["bias"])))
     return model

@@ -209,11 +209,12 @@ def copy_flax_params_to_torch(params, model: TorchRefC4):
     p = params["params"]
 
     def conv_w(tree):
-        return torch.from_numpy(np.asarray(tree["kernel"]).transpose(3, 2, 0, 1))
+        # np.array (copy) keeps torch off the non-writable JAX export buffer
+        return torch.from_numpy(np.array(tree["kernel"]).transpose(3, 2, 0, 1))
 
     def set_bn(dst: FrozenBN, tree):
         for name in ("weight", "bias", "running_mean", "running_var"):
-            getattr(dst, name).copy_(torch.from_numpy(np.asarray(tree[name])))
+            getattr(dst, name).copy_(torch.from_numpy(np.array(tree[name])))
 
     def set_block(dst: Bottleneck, tree):
         with torch.no_grad():
@@ -237,14 +238,14 @@ def copy_flax_params_to_torch(params, model: TorchRefC4):
                          (model.rpn_cls, rpn["cls_logits"]),
                          (model.rpn_bbox, rpn["bbox_pred"])):
             dst.weight.copy_(conv_w(src))
-            dst.bias.copy_(torch.from_numpy(np.asarray(src["bias"])))
+            dst.bias.copy_(torch.from_numpy(np.array(src["bias"])))
         roi = p["roi_heads"]
         for j, block in enumerate(model.res5):
             set_block(block, roi["res5"]["layer4"][f"block{j}"])
         for dst, src in ((model.cls_score, roi["cls_score"]),
                          (model.bbox_pred, roi["bbox_pred"])):
             dst.weight.copy_(
-                torch.from_numpy(np.asarray(src["kernel"]).T.copy())
+                torch.from_numpy(np.array(src["kernel"]).T.copy())
             )
-            dst.bias.copy_(torch.from_numpy(np.asarray(src["bias"])))
+            dst.bias.copy_(torch.from_numpy(np.array(src["bias"])))
     return model
