@@ -70,6 +70,22 @@ def _family_cfg(family):
     elif family == "keypoint":
         cfg.MODEL.KEYPOINT_ON = True
     elif family in ("fpn", "fpn_abr"):
+        if family == "fpn_abr":
+            # the CLI ABR recipe's distillation knobs (tools/train_incremental
+            # defaults; same values bench.py uses for the flagship) — without
+            # these the config defaults (l2, no feat distill, alpha 0) time a
+            # lighter step than the recipe actually runs
+            cfg.DIST.TYPE = "id"
+            cfg.DIST.ALPHA = 0.5
+            cfg.DIST.BETA = 1.0
+            cfg.DIST.GAMMA = 1.0
+            cfg.DIST.FEAT = "ard"
+            # even teacher-seeded, the random-init FrozenBN backbone +
+            # ID/ARD gradients diverge within the timed window at the 2e-4
+            # matrix default (finite warmup, NaN by iter ~6); 2e-5 holds
+            # loss ~2-3 for 12 iters and step time is LR-independent
+            cfg.SOLVER.BASE_LR = min(
+                float(cfg.SOLVER.BASE_LR), 2e-5)
         cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
         # FPN deployments run 256-channel pyramids (upstream
         # maskrcnn-benchmark FPN configs set BACKBONE_OUT_CHANNELS: 256;
@@ -167,6 +183,13 @@ def _run_family(family, batch_per_chip, iters, warmup):
         cfg_t.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 16
         model_t = build_detection_model(cfg_t)
         teacher_params = jax.jit(model_t.init)(jax.random.PRNGKey(1), px, rois)
+        # seed the student FROM the teacher (head-growth alignment), exactly
+        # as tools/train_incremental.py does — with an unrelated random
+        # teacher the distillation terms start ~3e3 and the step diverges
+        # within the timed window; the real recipe never sees that regime
+        from abr_iod_tpu.utils.checkpoint import align_and_update_params
+
+        params = align_and_update_params(params, teacher_params)
 
     tx = make_optimizer(cfg, params)
     batch_data = _synth_batch(rng, cfg, batch, family)
