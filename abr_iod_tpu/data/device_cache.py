@@ -83,6 +83,14 @@ class DeviceCanvasBank:
         return int(cap)
 
     def _ensure_bank(self, shape: tuple):
+        # holds self._lock for the whole (once-per-shape) construction:
+        # loader worker threads read _slots/_banks concurrently via
+        # contains(), and the class's thread contract promises those reads
+        # are lock-synchronized — not merely GIL-safe.
+        with self._lock:
+            return self._ensure_bank_locked(shape)
+
+    def _ensure_bank_locked(self, shape: tuple):
         if shape in self._banks:
             return self._banks[shape] is not None
         self._slots.setdefault(shape, OrderedDict())
@@ -135,6 +143,21 @@ class DeviceCanvasBank:
             slots.move_to_end(key)
             self._pinned[key] = self._pinned.get(key, 0) + 1
             return True
+
+    def release(self, keys: Sequence[Key]) -> None:
+        """Release one promise pin per key — for batches that were
+        prefetched but never consumed (early break / exception / generator
+        close): their ``contains()`` pins would otherwise leak and pin the
+        slots unevictable for the rest of the run.  Called from the
+        loader's prefetch drain path with the banked keys of each dropped
+        batch."""
+        with self._lock:
+            for key in keys:
+                c = self._pinned.get(key, 0) - 1
+                if c > 0:
+                    self._pinned[key] = c
+                else:
+                    self._pinned.pop(key, None)
 
     # ------------------------------------------------------------ assembly
     def batch(self, keys: Sequence[Key], canvases: Sequence[Optional[np.ndarray]]):

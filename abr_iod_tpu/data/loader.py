@@ -31,7 +31,40 @@ from ..structures.boxes import pad_boxes
 from . import transforms as T
 
 
-def prefetch_iter(it, depth: int = 2):
+def _available_ram_mb() -> Optional[float]:
+    """Host MemAvailable in MB (None when /proc/meminfo is unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return None
+
+
+def clamp_cache_budget_mb(budget_mb: float, frac: float = 0.5) -> float:
+    """Clamp a host-RSS cache budget to ``frac`` of currently-available
+    RAM.  TPU.CANVAS_CACHE_MB defaults generously (VOC trainval at full
+    canvas is ~17 GB) — on smaller hosts an unclamped LRU would grow the
+    process until the OOM killer takes it, where the reference merely
+    streams.  The clamp keeps the big budget on big hosts and degrades to
+    partial caching (LRU keeps the hottest canvases) elsewhere."""
+    avail = _available_ram_mb()
+    if avail is None:
+        return budget_mb
+    cap = avail * frac
+    if budget_mb > cap:
+        import logging
+
+        logging.getLogger("abr_iod_tpu").info(
+            "canvas cache budget clamped %.0f MB -> %.0f MB "
+            "(50%% of available host RAM)", budget_mb, cap)
+        return cap
+    return budget_mb
+
+
+def prefetch_iter(it, depth: int = 2, on_drop=None):
     """Background-thread prefetch over any iterator.
 
     Contract shared by every consumer (train loops, eval loop):
@@ -39,7 +72,11 @@ def prefetch_iter(it, depth: int = 2):
         fail the run, not end it silently as if the stream completed;
       * closing the generator early (break / .close()) signals the worker
         to stop and drains the queue, so no thread is left blocked on
-        q.put holding batch buffers alive.
+        q.put holding batch buffers alive;
+      * ``on_drop(item)`` fires for every produced item that is discarded
+        instead of yielded (queue drain on early close, and the item the
+        worker was mid-put on) — lets producers with side effects per
+        item (the device canvas bank's promise pins) undo them.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
@@ -49,14 +86,20 @@ def prefetch_iter(it, depth: int = 2):
     def worker():
         try:
             for item in it:
+                delivered = False
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.2)
+                        delivered = True
                         break
                     except queue.Full:
                         continue
-                if stop.is_set():
+                if not delivered:
+                    if on_drop is not None:
+                        on_drop(item)  # abandoned mid-put
                     return
+                if stop.is_set():
+                    return  # delivered — the drain below handles it
         except BaseException as e:  # noqa: BLE001 — propagated below
             error.append(e)
         finally:
@@ -81,9 +124,11 @@ def prefetch_iter(it, depth: int = 2):
         stop.set()
         while True:  # unblock a worker mid-put and drop its buffers
             try:
-                q.get_nowait()
+                item = q.get_nowait()
             except queue.Empty:
                 break
+            if on_drop is not None and item is not sentinel:
+                on_drop(item)
 
 
 class DetectionLoader:
@@ -162,7 +207,8 @@ class DetectionLoader:
             float(cfg.INPUT.get(k, 0.0)) > 0
             for k in ("BRIGHTNESS", "CONTRAST", "SATURATION", "HUE")
         )
-        budget_mb = float(cfg.TPU.get("CANVAS_CACHE_MB", 20480))
+        budget_mb = clamp_cache_budget_mb(
+            float(cfg.TPU.get("CANVAS_CACHE_MB", 20480)))
         # the cache only pays on multi-epoch (train) streams; eval/sampling
         # visit each image once, so caching would grow RSS by the whole
         # test set's canvases for zero hits
@@ -454,9 +500,22 @@ class DetectionLoader:
             if max_batches is not None and count >= max_batches:
                 return
 
+    def bank_drop(self, item) -> None:
+        """on_drop hook for prefetch over banked streams: release the
+        promise pins (device_cache.DeviceCanvasBank.release) of a batch
+        that was produced but never consumed.  Banked occurrences are the
+        ones the loader skipped pixels for (canvas None)."""
+        if self.pixel_bank is None:
+            return
+        keys, canvases = item[-2], item[-1]
+        self.pixel_bank.release(
+            [k for k, c in zip(keys, canvases) if c is None])
+
     def prefetched(self, max_batches: Optional[int] = None, depth: int = 2):
         """Background-thread prefetch over batches() (see prefetch_iter)."""
-        return prefetch_iter(self.batches(max_batches), depth=depth)
+        return prefetch_iter(
+            self.batches(max_batches), depth=depth,
+            on_drop=self.bank_drop if self.pixel_bank is not None else None)
 
     def raw_batches(self) -> Iterator[tuple]:
         """ABR path: yields (pixels_raw [B,H,W,3] RGB 0-255, sizes,

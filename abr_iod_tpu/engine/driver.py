@@ -352,6 +352,7 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
         meters = MetricLogger()
         t0 = time.time()
         last = t0
+        last_it = start_iter
         loader.start_iter = start_iter
         remaining = max(max_iter - start_iter, 0)
         for it, batch in enumerate(loader.prefetched(max_batches=remaining),
@@ -368,8 +369,11 @@ def run_first_task_training(cfg, logger=None, max_iter_override=None):
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
-                meters.update(**m, time=(now - last) / min(20, it))
-                last = now
+                # window = iterations since the previous meter update —
+                # correct at it == max_iter when max_iter % 20 != 0 (the
+                # first window still folds the jit compile in, as labeled)
+                meters.update(**m, time=(now - last) / max(it - last_it, 1))
+                last, last_it = now, it
                 if it % 100 == 0 or it == max_iter:
                     logger.info(f"iter {it}/{max_iter}  {meters}")
                     for k, v in m.items():
@@ -448,8 +452,11 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
             from ..data.loader import prefetch_iter
 
             k = jax.random.PRNGKey(int(cfg_target.SEED) + 1)
-            for raw in prefetch_iter(islice(loader.raw_batches(), max_iter),
-                                     depth=int(cfg_target.TPU.PREFETCH_DEPTH)):
+            for raw in prefetch_iter(
+                    islice(loader.raw_batches(), max_iter),
+                    depth=int(cfg_target.TPU.PREFETCH_DEPTH),
+                    on_drop=(loader.bank_drop if px_bank is not None
+                             else None)):
                 k, sub = jax.random.split(k)
                 if px_bank is not None:
                     raw, keys, canvases = raw
@@ -494,6 +501,7 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
         meters = MetricLogger()
         t0 = time.time()
         last = t0
+        last_it = start_iter
         for it, batch in enumerate(batches, start_iter + 1):
             if it > max_iter:
                 break
@@ -510,8 +518,8 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
             if it % 20 == 0 or it == max_iter:
                 m = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
-                m["time"] = (now - last) / min(20, it)
-                last = now
+                m["time"] = (now - last) / max(it - last_it, 1)
+                last, last_it = now, it
                 meters.update(**m)
                 if it % 100 == 0 or it == max_iter:
                     logger.info(f"iter {it}/{max_iter}  {meters}")

@@ -229,3 +229,52 @@ def test_bank_zero_capacity_ships_direct():
     out = np.asarray(bank.batch(keys, canvases))
     np.testing.assert_array_equal(out, np.stack(canvases))
     assert bank.stats()["entries"].get((128, 160), 0) == 0
+
+
+def test_release_undoes_promise_pins():
+    """release(keys) drops one promise pin per occurrence — the hook the
+    prefetch drain uses for batches produced but never consumed, so
+    discarded promises don't pin slots unevictable forever."""
+    shape = (64, 64)
+    bank = DeviceCanvasBank(2 * 64 * 64 * 3 / 2**20, shape,
+                            dual_orientation=False)  # 2 slots
+    mk = lambda i: np.full(shape + (3,), i % 255, np.uint8)
+    k = lambda i: (i, 96, shape, False)
+    bank.batch([k(0), k(1)], [mk(0), mk(1)])
+    assert bank.contains(k(0)) and bank.contains(k(0))  # two promises
+    bank.release([k(0)])
+    assert bank._pinned == {k(0): 1}
+    bank.release([k(0)])
+    assert not bank._pinned
+    # with pins gone, key 0 is evictable again under pressure
+    bank.batch([k(2), k(3)], [mk(2), mk(3)])
+    assert k(0) not in bank._slots[shape]
+
+
+def test_prefetched_early_close_releases_pins(voc_root):
+    """Breaking out of a banked prefetched() stream must release the
+    promise pins of the queued-but-unconsumed batches (advisor r4: leaked
+    pins made slots permanently unevictable)."""
+    cfg = _cfg()
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    bank = _bank()
+    loader = DetectionLoader(src, cfg, batch_size=4, is_train=True,
+                             normalize="device", seed=3, pixel_bank=bank)
+    # warm one full epoch so later batches are promise-heavy hits
+    for batch, keys, canvases in loader.batches(max_batches=6):
+        bank.batch(keys, canvases)
+    it = loader.prefetched(max_batches=40, depth=3)
+    for i, (batch, keys, canvases) in enumerate(it):
+        bank.batch(keys, canvases)
+        if i == 2:
+            break  # early close: queued batches hold promise pins
+    it.close()
+    # the worker thread drains asynchronously; poll briefly
+    import time
+    for _ in range(50):
+        with bank._lock:
+            if not bank._pinned:
+                break
+        time.sleep(0.02)
+    assert not bank._pinned, f"leaked pins: {bank._pinned}"

@@ -189,3 +189,15 @@ def test_loader_worker_count_is_batch_invariant(cfg):
         np.testing.assert_array_equal(ba.gt_boxes, bb.gt_boxes)
         np.testing.assert_array_equal(ba.gt_labels, bb.gt_labels)
         np.testing.assert_array_equal(ba.gt_mask, bb.gt_mask)
+
+
+def test_canvas_cache_budget_clamps_to_available_ram():
+    """TPU.CANVAS_CACHE_MB defaults to 20 GB; on smaller hosts the loader
+    must clamp the host-RSS LRU to a fraction of available RAM instead of
+    growing until the OOM killer fires (advisor r4 medium)."""
+    from abr_iod_tpu.data.loader import clamp_cache_budget_mb, _available_ram_mb
+
+    avail = _available_ram_mb()
+    assert avail is not None and avail > 0
+    assert clamp_cache_budget_mb(avail * 10) <= avail * 0.5 + 1
+    assert clamp_cache_budget_mb(1.0) == 1.0  # small budgets untouched

@@ -58,3 +58,37 @@ def test_early_close_releases_worker():
 
 def test_zero_items():
     assert list(prefetch_iter(iter(()), depth=2)) == []
+
+
+def test_on_drop_fires_for_unconsumed_items():
+    """Every produced item is either yielded or on_drop'd, never both."""
+    import threading
+    import time
+
+    produced, dropped, consumed = [], [], []
+    release = threading.Event()
+
+    def src():
+        for i in range(10):
+            produced.append(i)
+            yield i
+            if i == 0:
+                release.wait(5)  # let the queue fill behind the consumer
+
+    it = prefetch_iter(src(), depth=3, on_drop=dropped.append)
+    consumed.append(next(it))
+    # wait for the worker to fill the queue and block mid-put
+    time.sleep(0.3)
+    release.set()
+    it.close()
+    time.sleep(0.3)  # worker notices stop and drops its in-flight item
+    assert sorted(consumed + dropped) == sorted(produced[:len(consumed) + len(dropped)])
+    assert not (set(consumed) & set(dropped))
+    assert dropped  # the queued items were reported
+
+
+def test_on_drop_not_called_on_clean_completion():
+    dropped = []
+    out = list(prefetch_iter(iter(range(5)), depth=2, on_drop=dropped.append))
+    assert out == list(range(5))
+    assert dropped == []
