@@ -225,7 +225,11 @@ def _run_family(family, batch_per_chip, iters, warmup):
         dt = time.perf_counter() - t0
 
     if not np.isfinite(loss):
-        raise RuntimeError(f"non-finite loss {loss} (warmup loss {loss0})")
+        raise RuntimeError(
+            f"non-finite loss {loss} (warmup loss {loss0}) at "
+            f"BASE_LR={float(cfg.SOLVER.BASE_LR):g} — random-init + synthetic "
+            "pixels diverge at recipe LRs; step time is LR-invariant, so rerun "
+            "with BENCH_MATRIX_LR=2e-5 (or lower) for a finite-loss timing")
     per_chip = batch * iters / dt / n_devices
     return {
         "family": family,
@@ -258,6 +262,17 @@ def main():
     batch = int(os.environ.get("BENCH_MATRIX_BATCH", "8"))
     iters = int(os.environ.get("BENCH_MATRIX_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_MATRIX_WARMUP", "2"))
+
+    # make the LR taming visible: the matrix never times at a recipe LR
+    # (random-init + noise pixels diverge within the window); this is a
+    # throughput artifact, LR-invariant by measurement (BASELINE.md r4)
+    lr = float(os.environ.get("BENCH_MATRIX_LR", "0.0002"))
+    print(json.dumps({
+        "note": f"throughput matrix runs at BASE_LR={lr:g} "
+                "(fpn_abr further clamped to <=2e-5); recipe LRs diverge on "
+                "random init within the timed window — step time is "
+                "LR-invariant, losses here are NOT convergence evidence",
+    }), flush=True)
 
     results = []
     for fam in fams:
