@@ -73,6 +73,15 @@ class DeviceCanvasBank:
         self._insert = {}
         self.hits = 0
         self.misses = 0
+        # metadata side-car: (index, min_size, canvas_hw) → (size_hw,
+        # boxes), shared across DetectionLoader instances that attach this
+        # bank — a fresh loader (tools/eval_steps.py builds one per
+        # run_test call) can then serve bank hits without re-decoding the
+        # image for its boxes/size (the loader's own _meta_cache would
+        # start empty).  Plain dict: item writes are atomic under the GIL
+        # and keys are write-once (same contract as the loader's local
+        # meta cache, which this replaces when a bank is attached).
+        self.meta: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------- sizing
     def _capacity(self, shape: tuple) -> int:

@@ -209,11 +209,15 @@ class DetectionLoader:
         )
         budget_mb = clamp_cache_budget_mb(
             float(cfg.TPU.get("CANVAS_CACHE_MB", 20480)))
-        # the cache only pays on multi-epoch (train) streams; eval/sampling
-        # visit each image once, so caching would grow RSS by the whole
-        # test set's canvases for zero hits
+        # the cache only pays on streams that revisit images: train epochs
+        # always do; a single eval pass visits each image once, so eval
+        # streams skip it UNLESS a device pixel bank is attached (bank keys
+        # mirror host-cache keys) — the multi-eval drivers (tools/
+        # eval_steps.py, chain workflows) re-run the SAME test canvases
+        # once per incremental step and share one bank across calls
         self._cache_budget = (
-            0 if (jitter_on or not is_train) else int(budget_mb * 2 ** 20))
+            0 if (jitter_on or (not is_train and pixel_bank is None))
+            else int(budget_mb * 2 ** 20))
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_bytes = 0
         self._cache_lock = threading.Lock()
@@ -227,8 +231,12 @@ class DetectionLoader:
             pixel_bank
             if self._cache_budget > 0 and normalize is not True else None)
         # (index, min_size, canvas) → (size_hw, boxes): tiny, unbounded —
-        # survives canvas-LRU eviction so bank hits never need the pixels
-        self._meta_cache: dict = {}
+        # survives canvas-LRU eviction so bank hits never need the pixels.
+        # Shared through the bank when one is attached, so a FRESH loader
+        # over the same source (multi-eval drivers) serves bank hits
+        # without re-decoding images for their metadata.
+        self._meta_cache: dict = (
+            self.pixel_bank.meta if self.pixel_bank is not None else {})
 
     def __len__(self):
         return len(self.source)
@@ -333,8 +341,6 @@ class DetectionLoader:
             image, record["boxes"], min_size, self.max_size,
             self.canvas_for(index), dtype=np.uint8,
         )
-        if self.pixel_bank is not None and key not in self._meta_cache:
-            self._meta_cache[key] = (size_hw, boxes.copy())
         if self._cache_budget > 0:
             nbytes = canvas_u8.nbytes + boxes.nbytes + 128
             with self._cache_lock:
@@ -364,19 +370,33 @@ class DetectionLoader:
                 # device-resident canvas bank: the flip draw moves BEFORE
                 # canvas production (same randint→uniform sequence, so the
                 # rng stream is unchanged); on a bank hit no pixel bytes
-                # are produced at all — size/boxes come from the metadata
-                # cache populated on the key's first (miss) visit
+                # are produced at all — the resized size comes from the
+                # metadata cache populated on the key's first (miss) visit.
+                # Keys use the image PATH, not the source-relative index:
+                # the bank may be shared across loaders over DIFFERENT
+                # sources (eval_steps evaluates several class-filter cfgs),
+                # where the same index means different images.  Boxes are
+                # never cached — they depend on the class filter — and are
+                # recomputed from the record with resize_to_canvas's exact
+                # scaling (transforms.py:75-78), which is a pure function
+                # of (size_hw, record) — bit-identical to the miss path.
                 flipped = self.flip_prob > 0 and rng.uniform() < self.flip_prob
-                bkey = (index, min_size, self.canvas_for(index), flipped)
+                uid = self.source.image_path(index)
+                bkey = (uid, min_size, self.canvas_for(index), flipped)
                 meta = self._meta_cache.get(bkey[:3])
                 if meta is not None and self.pixel_bank.contains(bkey):
                     canvas = None  # banked — no pixel bytes needed
-                    size_hw, boxes = meta[0], meta[1].copy()
+                    size_hw = meta
+                    boxes = record["boxes"].copy().astype(np.float32)
+                    if boxes.size:
+                        boxes[:, 0::2] *= size_hw[1] / record["width"]
+                        boxes[:, 1::2] *= size_hw[0] / record["height"]
                     if flipped:
                         boxes = T.hflip_boxes(size_hw, boxes)
                 else:
                     canvas, size_hw, boxes = self._resized(
                         index, record, min_size, canvas_dtype)
+                    self._meta_cache.setdefault(bkey[:3], tuple(size_hw))
                     if flipped:
                         canvas, boxes = T.hflip(canvas, size_hw, boxes)
                 pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
@@ -543,7 +563,12 @@ class DetectionLoader:
         """Eval iteration: yields (Batch, records, n_valid) keeping the
         per-image metadata needed by the evaluator.  Batches are
         orientation-grouped like training; each group's final batch is
-        padded by repetition, with n_valid marking the real prefix."""
+        padded by repetition, with n_valid marking the real prefix.
+
+        With a pixel_bank attached, yields
+        (Batch(pixels=None, ...), records, n_valid, keys, canvases)
+        instead — the caller assembles pixels via bank.batch(keys,
+        canvases), exactly like the banked train streams."""
         gbs = self.batch_size * self.num_shards
         self._last_flush_real = gbs
         for it, idxs in enumerate(self._index_batches()):
@@ -562,8 +587,17 @@ class DetectionLoader:
             loaded = self._load_many(
                 idxs, [self._item_rng(it, p) for p in range(len(idxs))]
             )
-            pixels, sizes, boxes, labels, masks = map(
-                np.stack, zip(*[l[:5] for l in loaded])
-            )
             records = [l[5] for l in loaded[:n_valid]]
-            yield Batch(pixels, sizes, boxes, labels, masks), records, n_valid
+            if self.pixel_bank is not None:
+                sizes, boxes, labels, masks = map(
+                    np.stack, zip(*[l[1:5] for l in loaded])
+                )
+                yield (Batch(None, sizes, boxes, labels, masks), records,
+                       n_valid, [l[7] for l in loaded],
+                       [l[0] for l in loaded])
+            else:
+                pixels, sizes, boxes, labels, masks = map(
+                    np.stack, zip(*[l[:5] for l in loaded])
+                )
+                yield (Batch(pixels, sizes, boxes, labels, masks),
+                       records, n_valid)

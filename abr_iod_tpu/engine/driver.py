@@ -544,11 +544,19 @@ def run_incremental_training(cfg_source, cfg_target, logger=None,
 
 
 # --------------------------------------------------------------- eval
-def run_test(cfg, params=None, logger=None, max_images=None):
+def run_test(cfg, params=None, logger=None, max_images=None,
+             pixel_bank=None):
     """VOC evaluation (tools/train_incremental.py:252-314): runs the
     compiled eval step over DATASETS.TEST, maps detections back to
     original coordinates, computes mAP, appends per-class APs to
-    output/{TASK}.txt."""
+    output/{TASK}.txt.
+
+    ``pixel_bank``: optional DeviceCanvasBank shared across run_test
+    calls (tools/eval_steps.py) — multi-step chains re-evaluate the SAME
+    test canvases once per step; with a shared bank the pixels cross the
+    host link once and later evals assemble batches HBM→HBM.  Hits are
+    bit-identical by construction (bank keys mirror the host canvas
+    cache), so mAP digits are unchanged."""
     logger = logger or setup_logger("abr_iod_tpu.test", cfg.OUTPUT_DIR)
     model = build_detection_model(cfg)
     if params is None:
@@ -575,9 +583,10 @@ def run_test(cfg, params=None, logger=None, max_images=None):
         source = ConcatDataSource(sources)
     loader = DetectionLoader(
         source, cfg, is_train=False, canvas=canvas, flip=False,
-        normalize="device",
+        normalize="device", pixel_bank=pixel_bank,
         **_shard_kwargs(int(cfg.TEST.IMS_PER_BATCH)),
     )
+    pixel_bank = loader.pixel_bank
     norm_px = _device_normalize(cfg)
 
     mask_on = bool(cfg.MODEL.MASK_ON)
@@ -653,9 +662,16 @@ def run_test(cfg, params=None, logger=None, max_images=None):
     stop = False
     from ..data.loader import prefetch_iter
 
-    for batch, records, n_valid in prefetch_iter(loader.eval_batches()):
-        out = eval_step(params, norm_px(jnp.asarray(batch.pixels)),
-                        jnp.asarray(batch.sizes))
+    for item in prefetch_iter(
+            loader.eval_batches(),
+            on_drop=loader.bank_drop if pixel_bank is not None else None):
+        if pixel_bank is not None:
+            batch, records, n_valid, keys, canvases = item
+            px = pixel_bank.batch(keys, canvases)
+        else:
+            batch, records, n_valid = item
+            px = jnp.asarray(batch.pixels)
+        out = eval_step(params, norm_px(px), jnp.asarray(batch.sizes))
         if mask_on:
             dets, mask_probs = out
             det_kps = None

@@ -278,3 +278,84 @@ def test_prefetched_early_close_releases_pins(voc_root):
                 break
         time.sleep(0.02)
     assert not bank._pinned, f"leaked pins: {bank._pinned}"
+
+
+def test_eval_batches_banked_bit_identical(voc_root):
+    """Eval streams with a bank attached must assemble byte-equal pixel
+    batches, and a SECOND eval pass over the same source (fresh loader,
+    shared bank — the tools/eval_steps.py pattern) must be served from
+    the bank without producing any pixel bytes."""
+    cfg = _cfg()
+    cfg.TPU.CANVAS_TEST = (128, 160)
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    src = VOCDataSource(voc_root, "trainval", "train_new", (),
+                        VOC_CLASSES[:6], ())
+    plain = DetectionLoader(src, cfg, batch_size=4, is_train=False,
+                            flip=False, normalize="device")
+    base = list(plain.eval_batches())
+    assert len(base) >= 2
+
+    bank = _bank()
+    for pass_i in range(2):
+        loader = DetectionLoader(src, cfg, batch_size=4, is_train=False,
+                                 flip=False, normalize="device",
+                                 pixel_bank=bank)
+        assert loader.pixel_bank is bank  # eval no longer drops the bank
+        got = list(loader.eval_batches())
+        assert len(got) == len(base)
+        for (eb, erec, env_), (b, rec, nv, keys, canvases) in zip(base, got):
+            assert b.pixels is None
+            px = np.asarray(bank.batch(keys, canvases))
+            np.testing.assert_array_equal(eb.pixels, px)
+            np.testing.assert_array_equal(eb.sizes, b.sizes)
+            assert env_ == nv
+            assert len(erec) == len(rec)
+            if pass_i == 1:  # second pass: pure bank hits, no pixel bytes
+                assert all(c is None for c in canvases)
+    stats = bank.stats()
+    assert stats["hits"] > 0 and stats["misses"] > 0
+
+
+def test_run_test_with_shared_bank_same_map(voc_root, tmp_path, monkeypatch):
+    """run_test(pixel_bank=...) twice with a shared bank: identical mAP
+    digits to the bankless eval, second call serves pixels from HBM."""
+    import jax
+
+    from abr_iod_tpu.engine.driver import run_test
+    from abr_iod_tpu.models.build import build_detection_model
+    from abr_iod_tpu.engine.driver import init_params
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg()
+    cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES = []
+    cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES = list(VOC_CLASSES[:6])
+    cfg.MODEL.ROI_BOX_HEAD.NAME_EXCLUDED_CLASSES = []
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.TPU.BACKBONE_STAGES = (1, 1, 1)
+    cfg.TPU.RES5_BLOCKS = 1
+    cfg.TPU.RES5_BOTTLENECK = 16
+    cfg.TPU.RES5_OUT = 32
+    cfg.TPU.CANVAS_TEST = (128, 160)
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.TEST.IMS_PER_BATCH = 4
+    cfg.DATASETS.TEST = ("voc_synthetic_test",)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    monkeypatch.setenv("ABR_IOD_DATA_DIR", str(tmp_path / "ds"))
+    monkeypatch.setenv("ABR_IOD_SYNTH_IMAGES", "8")
+    monkeypatch.setenv("ABR_IOD_SYNTH_H", "120")
+    monkeypatch.setenv("ABR_IOD_SYNTH_W", "160")
+
+    model = build_detection_model(cfg)
+    params = init_params(cfg, model)
+
+    r_plain = run_test(cfg, params=params)
+    bank = _bank()
+    r1 = run_test(cfg, params=params, pixel_bank=bank)
+    r2 = run_test(cfg, params=params, pixel_bank=bank)
+    assert r_plain["map"] == r1["map"] == r2["map"]
+    np.testing.assert_array_equal(r_plain["ap"], r2["ap"])
+    assert bank.stats()["hits"] > 0

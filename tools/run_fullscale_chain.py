@@ -134,6 +134,11 @@ def main():
                     help="skip stages whose .done_<tag> stamp exists in the workdir")
     ap.add_argument("--skip-ft", action="store_true",
                     help="skip the naive-finetune control chain")
+    ap.add_argument("--defer-eval", action="store_true",
+                    help="train all stages with --skip-test, then run every "
+                         "eval in ONE process via tools/eval_steps.py — the "
+                         "test canvases upload once and later evals assemble "
+                         "batches from the device canvas bank")
     args = ap.parse_args()
 
     wd = args.workdir or f"/tmp/chain_{args.task}"
@@ -151,15 +156,16 @@ def main():
     tools = os.path.join(REPO, "tools")
     mb, mt = str(args.memory_buffer), args.memory_type
 
+    st = ["--skip-test"] if args.defer_eval else []
     t_all = time.time()
     if not args.skip_jt:
         run_stage("jt", [py, f"{tools}/train_first_step.py",
                          "-c", "configs/voc/e2e_faster_rcnn_R_50_C4_4x_JT.yaml",
-                         "TASK", args.task, "NAME", "JT", "STEP", "0"],
+                         *st, "TASK", args.task, "NAME", "JT", "STEP", "0"],
                   wd, env, resume=args.resume)
     run_stage("first", [py, f"{tools}/train_first_step.py",
                         "-c", f"configs/voc/{args.task}/e2e_faster_rcnn_R_50_C4_4x.yaml",
-                        "TASK", args.task, "NAME", "FIRST", "STEP", "0"],
+                        *st, "TASK", args.task, "NAME", "FIRST", "STEP", "0"],
               wd, env, resume=args.resume)
     run_stage("pbs0", [py, f"{tools}/prototype_box_selection.py",
                        "-n", "ABR", "-t", args.task, "-s", "0",
@@ -169,7 +175,8 @@ def main():
                               "-t", args.task, "-n", "ABR", "-s", str(s),
                               "--feat", "ard", "-gamma", "1.0", "--uce",
                               "--dist_type", "id", "-alpha", "0.5",
-                              "-beta", "1.0", "-mb", mb, "-mt", mt], wd, env, resume=args.resume)
+                              "-beta", "1.0", "-mb", mb, "-mt", mt, *st],
+                  wd, env, resume=args.resume)
         if s < args.steps:
             run_stage(f"pbs{s}", [py, f"{tools}/prototype_box_selection.py",
                                   "-n", "ABR", "-t", args.task, "-s", str(s),
@@ -178,8 +185,16 @@ def main():
         for s in range(1, args.steps + 1):
             run_stage(f"ft{s}", [py, f"{tools}/train_incremental.py",
                                  "-t", args.task, "-n", "FT", "-s", str(s),
-                                 "--feat", "no", "--dist_type", "none"],
+                                 "--feat", "no", "--dist_type", "none", *st],
                       wd, env, resume=args.resume)
+    if args.defer_eval:
+        runs = ["ABR:" + mt] + ([] if args.skip_ft else ["FT"])
+        run_stage("eval", [py, f"{tools}/eval_steps.py",
+                           "-t", args.task, "--steps", str(args.steps),
+                           "--runs", *runs,
+                           "--first-config",
+                           f"configs/voc/{args.task}/e2e_faster_rcnn_R_50_C4_4x.yaml"],
+                  wd, env, resume=args.resume)
 
     print(f"[chain] total {time.time() - t_all:.0f}s; ledger:")
     ledger = os.path.join(wd, "output", f"{args.task}.txt")
