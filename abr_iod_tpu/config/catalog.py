@@ -118,6 +118,28 @@ class DatasetCatalog:
             "data_dir": "",
             "split": "train",
         },
+        # synthetic COCO-json sets: instance masks (mask family CLI) and
+        # person keypoints (keypoint family CLI); generated on first use
+        "instseg_synthetic_train": {
+            "factory": "SyntheticInstSegDataset",
+            "data_dir": "synthetic_instseg",
+            "split": "train",
+        },
+        "instseg_synthetic_test": {
+            "factory": "SyntheticInstSegDataset",
+            "data_dir": "synthetic_instseg",
+            "split": "test",
+        },
+        "keypoints_synthetic_train": {
+            "factory": "SyntheticKeypointDataset",
+            "data_dir": "synthetic_keypoints",
+            "split": "train",
+        },
+        "keypoints_synthetic_test": {
+            "factory": "SyntheticKeypointDataset",
+            "data_dir": "synthetic_keypoints",
+            "split": "test",
+        },
     }
 
     @classmethod

@@ -142,7 +142,7 @@ class COCODataSource:
             labels.append(self._label_of[a["category_id"]])
             crowd.append(True)
             areas.append(float(a.get("area", w * h)))
-        return {
+        rec = {
             "img_id": str(img_id),
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int32),
@@ -152,6 +152,25 @@ class COCODataSource:
             "height": int(info["height"]),
             "width": int(info["width"]),
         }
+        # person-keypoint annotations ride along when the json carries them
+        # (reference coco.py:236-239 builds a Keypoints field per target);
+        # [N, K, 3] (x, y, vis) in original image coordinates, crowds
+        # excluded (same rows as boxes/labels)
+        if any("keypoints" in a for a in self._filtered[img_id]):
+            k = max(len(a.get("keypoints", ())) // 3
+                    for a in self._filtered[img_id])
+            kps = np.zeros((len(self._filtered[img_id]), k, 3), np.float32)
+            for i, a in enumerate(self._filtered[img_id]):
+                v = np.asarray(a.get("keypoints", ()), np.float32)
+                if v.size:
+                    kps[i, : v.size // 3] = v.reshape(-1, 3)
+            # crowd rows (appended after filtered) carry no keypoints
+            if len(boxes) > len(kps):
+                kps = np.concatenate(
+                    [kps, np.zeros((len(boxes) - len(kps), k, 3), np.float32)]
+                )
+            rec["keypoints"] = kps
+        return rec
 
     def load_image(self, index: int) -> np.ndarray:
         from PIL import Image

@@ -189,6 +189,13 @@ class DetectionLoader:
         self.mask_crop_size = (
             int(cfg.TPU.get("MASK_CROP_SIZE", 28)) if bool(cfg.MODEL.MASK_ON) else 0
         )
+        # keypoint training: emit padded [MAX_GT, K, 3] canvas-coordinate
+        # targets (reference keypoint.py Keypoints ride the BoxList through
+        # resize/transpose; here the loader applies the same transforms)
+        self.num_keypoints = (
+            int(cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES)
+            if (bool(cfg.MODEL.KEYPOINT_ON) and is_train) else 0
+        )
         # DATALOADER.NUM_WORKERS (the reference's torch-DataLoader worker
         # count, defaults.py:83) maps to a thread pool over per-image prep:
         # PIL decode/resize release the GIL, and item RNGs are keyed by
@@ -402,8 +409,10 @@ class DetectionLoader:
                 pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
                 crops = (self._mask_crops(record, flipped)
                          if self.mask_crop_size else None)
+                kps = (self._padded_keypoints(record, size_hw, flipped)
+                       if self.num_keypoints else None)
                 return (canvas, np.asarray(size_hw, np.int32), pb, pl, pm,
-                        record, crops, bkey)
+                        record, crops, bkey, kps)
             canvas, size_hw, boxes = self._resized(
                 index, record, min_size, canvas_dtype)
         else:
@@ -431,7 +440,10 @@ class DetectionLoader:
             )
         pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
         crops = self._mask_crops(record, flipped) if self.mask_crop_size else None
-        return canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record, crops, None
+        kps = (self._padded_keypoints(record, size_hw, flipped)
+               if self.num_keypoints else None)
+        return (canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record,
+                crops, None, kps)
 
     def _mask_crops(self, record, flipped: bool) -> np.ndarray:
         """[MAX_GT, R, R] float32: each gt instance's mask cropped to its
@@ -464,6 +476,30 @@ class DetectionLoader:
             if flipped:
                 resized = resized[:, ::-1]
             out[i] = resized
+        return out
+
+    def _padded_keypoints(self, record, size_hw, flipped: bool) -> np.ndarray:
+        """[MAX_GT, K, 3] keypoint targets in canvas coordinates: the
+        record's original-frame (x, y, vis) rows scaled by the SAME ratios
+        the boxes got, mirrored (+ left/right index swap) under hflip —
+        the reference applies Keypoints.resize/transpose through the
+        BoxList transforms (structures/keypoint.py)."""
+        from ..structures.keypoints import hflip_keypoints, resize_keypoints
+
+        k = self.num_keypoints
+        out = np.zeros((self.max_gt, k, 3), np.float32)
+        kps = record.get("keypoints")
+        if kps is None or len(kps) == 0:
+            return out
+        kps = resize_keypoints(
+            np.asarray(kps, np.float32),
+            size_hw[1] / record["width"], size_hw[0] / record["height"],
+        )
+        if flipped:
+            kps = hflip_keypoints(kps, float(size_hw[1]))
+        n = min(len(kps), self.max_gt)
+        kk = min(kps.shape[1], k)
+        out[:n, :kk] = kps[:n, :kk]
         return out
 
     def _load_many(self, idxs: List[int], rngs) -> list:
@@ -509,13 +545,17 @@ class DetectionLoader:
             crops = (
                 np.stack([l[6] for l in loaded]) if self.mask_crop_size else None
             )
+            kps = (
+                np.stack([l[8] for l in loaded]) if self.num_keypoints else None
+            )
             if self.pixel_bank is not None:
-                b = Batch(None, sizes, boxes, labels, masks, gt_mask_crops=crops)
+                b = Batch(None, sizes, boxes, labels, masks,
+                          gt_mask_crops=crops, gt_keypoints=kps)
                 yield b, [l[7] for l in loaded], [l[0] for l in loaded]
             else:
                 pixels = np.stack([l[0] for l in loaded])
                 yield Batch(pixels, sizes, boxes, labels, masks,
-                            gt_mask_crops=crops)
+                            gt_mask_crops=crops, gt_keypoints=kps)
             count += 1
             if max_batches is not None and count >= max_batches:
                 return
@@ -548,7 +588,7 @@ class DetectionLoader:
                 idxs, [self._item_rng(it, p) for p in range(len(idxs))]
             )
             items = []
-            for canvas, size_hw, pb, pl, pm, rec, _, _k in loaded:
+            for canvas, size_hw, pb, pl, pm, rec, *_rest in loaded:
                 orig = np.array([rec["height"], rec["width"]], np.int32)
                 items.append((size_hw, orig, pb, pl, pm))
             rest = tuple(map(np.stack, zip(*items)))

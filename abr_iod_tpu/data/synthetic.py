@@ -115,3 +115,91 @@ def _write_annotation(root, img_id, h, w, objects):
         ET.SubElement(bb, "ymax").text = str(y2)
     tree = ET.ElementTree(ann)
     tree.write(os.path.join(root, "Annotations", f"{img_id}.xml"))
+
+
+def make_synthetic_coco(
+    root: str,
+    n_images: int = 24,
+    image_hw=(240, 320),
+    max_objects: int = 4,
+    seed: int = 0,
+    keypoints: bool = False,
+    categories: Sequence[str] = ("person",),
+    splits=("train", "test"),
+):
+    """COCO-json synthetic set for the mask / keypoint CLI families.
+
+    Same colored-rectangle images as make_synthetic_voc, but annotated
+    in COCO format so the json-backed sources (COCODataSource /
+    VOC2012InstanceDataSource — reference data/datasets/coco.py) consume
+    them: every object carries a polygon segmentation (the rectangle)
+    and, with ``keypoints=True``, a 17-point person-keypoint vector laid
+    out on a deterministic 4x4 grid inside the box (vis=2) with the
+    nose at the box center — enough structure for heads to fit in smoke
+    tests and for the decode path to be exercised end-to-end.
+
+    Writes ``<root>/img/*.jpg`` + ``<root>/ann_<split>.json``.
+    """
+    rng = np.random.RandomState(seed)
+    from PIL import Image
+
+    img_dir = os.path.join(root, "img")
+    os.makedirs(img_dir, exist_ok=True)
+    img_counter = 0
+    for split in splits:
+        images, annotations = [], []
+        ann_id = 1
+        for _ in range(n_images):
+            img_id = img_counter + 1
+            img_counter += 1
+            h, w = image_hw
+            img = rng.randint(0, 60, size=(h, w, 3)).astype(np.uint8)
+            n_obj = rng.randint(1, max_objects + 1)
+            for _ in range(n_obj):
+                cat_id = int(rng.randint(1, len(categories) + 1))
+                bw = rng.randint(int(w * 0.2), int(w * 0.5))
+                bh = rng.randint(int(h * 0.2), int(h * 0.5))
+                x1 = rng.randint(0, w - bw)
+                y1 = rng.randint(0, h - bh)
+                color = _class_color(cat_id)
+                img[y1:y1 + bh, x1:x1 + bw] = color
+                img[y1 + bh // 4:y1 + 3 * bh // 4,
+                    x1 + bw // 4:x1 + 3 * bw // 4] = 255 - color
+                ann = {
+                    "id": ann_id, "image_id": img_id, "category_id": cat_id,
+                    "bbox": [float(x1), float(y1), float(bw), float(bh)],
+                    "area": float(bw * bh), "iscrowd": 0,
+                    "segmentation": [[
+                        float(x1), float(y1), float(x1 + bw), float(y1),
+                        float(x1 + bw), float(y1 + bh), float(x1), float(y1 + bh),
+                    ]],
+                }
+                if keypoints:
+                    kps = []
+                    for k in range(17):
+                        if k == 0:  # nose at the box center
+                            kx, ky = x1 + bw / 2, y1 + bh / 2
+                        else:
+                            gx, gy = (k - 1) % 4, (k - 1) // 4
+                            kx = x1 + bw * (0.2 + 0.2 * gx)
+                            ky = y1 + bh * (0.2 + 0.2 * gy)
+                        kps += [float(kx), float(ky), 2]
+                    ann["keypoints"] = kps
+                    ann["num_keypoints"] = 17
+                annotations.append(ann)
+                ann_id += 1
+            fname = f"synth_{img_id:06d}.jpg"
+            Image.fromarray(img).save(os.path.join(img_dir, fname))
+            images.append({"id": img_id, "file_name": fname,
+                           "height": h, "width": w})
+        import json
+
+        with open(os.path.join(root, f"ann_{split}.json"), "w") as f:
+            json.dump({
+                "images": images,
+                "annotations": annotations,
+                "categories": [
+                    {"id": i + 1, "name": c} for i, c in enumerate(categories)
+                ],
+            }, f)
+    return root

@@ -76,6 +76,40 @@ def make_data_source(cfg, dataset_name: str, mode: str):
         return VOC2012InstanceDataSource(
             spec["ann_file"], spec["img_dir"], **kwargs
         )
+    if factory in ("SyntheticInstSegDataset", "SyntheticKeypointDataset"):
+        # COCO-json synthetic sets (masks / person keypoints) so the mask
+        # and keypoint families run through the SAME CLI surface as the
+        # reference's json-backed configs (e2e_mask_rcnn_*,
+        # e2e_keypoint_rcnn_*) without COCO on disk
+        if not os.path.exists(os.path.join(root, f"ann_{spec['split']}.json")):
+            from ..data.synthetic import make_synthetic_coco
+
+            kp = factory == "SyntheticKeypointDataset"
+            make_synthetic_coco(
+                root,
+                n_images=int(os.environ.get("ABR_IOD_SYNTH_IMAGES", "24")),
+                image_hw=(
+                    int(os.environ.get("ABR_IOD_SYNTH_H", "240")),
+                    int(os.environ.get("ABR_IOD_SYNTH_W", "320")),
+                ),
+                keypoints=kp,
+                categories=(("person",) if kp else
+                            tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES)
+                            or ("object",)),
+            )
+        new_names = tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_NEW_CLASSES)
+        old_names = tuple(cfg.MODEL.ROI_BOX_HEAD.NAME_OLD_CLASSES)
+        if factory == "SyntheticKeypointDataset":
+            from ..data.coco import COCODataSource as cls
+        else:
+            from ..data.voc2012_instance import VOC2012InstanceDataSource as cls
+        return cls(
+            os.path.join(root, f"ann_{spec['split']}.json"),
+            os.path.join(root, "img"),
+            is_train=(mode != "test_all"),
+            num_old_categories=len(old_names),
+            num_new_categories=max(len(new_names), 1),
+        )
     if factory.startswith("Synthetic"):
         root = os.path.join(DatasetCatalog.DATA_DIR, "synthetic_voc/VOC2007")
         if not os.path.isdir(os.path.join(root, "JPEGImages")):

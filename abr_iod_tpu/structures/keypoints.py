@@ -36,8 +36,12 @@ def flip_inds() -> np.ndarray:
 
 
 def hflip_keypoints(keypoints: np.ndarray, width: float) -> np.ndarray:
-    """[N, K, 3] horizontal flip: mirror x, swap left/right keypoints."""
-    out = keypoints[:, flip_inds()].copy()
+    """[N, K, 3] horizontal flip: mirror x, swap left/right keypoints.
+    The left/right swap is the person vocabulary's; other K just mirror."""
+    if keypoints.shape[1] == len(PERSON_KEYPOINT_NAMES):
+        out = keypoints[:, flip_inds()].copy()
+    else:
+        out = keypoints.copy()
     out[..., 0] = width - out[..., 0] - 1
     out[..., 0] *= (out[..., 2] > 0)  # invisible points stay at 0
     return out
