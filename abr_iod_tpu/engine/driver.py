@@ -24,7 +24,7 @@ from ..data.loader import DetectionLoader
 from ..data.voc import VOCDataSource
 from ..evaluation.voc_eval import eval_detection_voc
 from ..models.build import build_detection_model
-from ..parallel.mesh import make_mesh, shard_batch, shard_params
+from ..parallel.mesh import make_mesh, put_like, shard_batch, shard_params
 from ..solver.optim import make_optimizer
 from ..utils import comm
 from ..utils.checkpoint import Checkpointer, align_and_update_params
@@ -320,8 +320,10 @@ def _restore_or_init_state(checkpointer, tx, params, logger):
             payload = checkpointer.load(
                 {"params": params, "opt_state": opt_state, "iteration": 0}
             )
-            params = payload["params"]
-            opt_state = payload["opt_state"]
+            # re-commit the restored host arrays onto the live templates'
+            # shardings (collective-free at any world size)
+            params = put_like(payload["params"], params)
+            opt_state = put_like(payload["opt_state"], opt_state)
             start_iter = int(payload["iteration"])
             if logger:
                 logger.info(f"resumed from iteration {start_iter}")

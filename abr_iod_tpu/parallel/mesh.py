@@ -80,6 +80,34 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def _put_host(x, sh: NamedSharding):
+    """Commit a host (or locally-addressable) value to a sharding,
+    collective-free at any world size.
+
+    Multi-process ``jax.device_put`` of a host value onto a global
+    sharding runs ``multihost_utils.assert_equal`` — one Gloo allgather
+    PER LEAF — which is slow at param-tree scale and racy at cold start
+    (contexts rendezvous under a 30 s timeout while ranks are still
+    compiling).  ``make_array_from_callback`` materializes only the
+    addressable shards from local data instead.  Callers must pass
+    value-identical trees on every process (deterministic init or a
+    shared checkpoint) — the same invariant the reference meets with
+    DDP's initial broadcast (torch DistributedDataParallel), met here by
+    construction."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+
 def shard_params(mesh: Mesh, params):
     shardings = param_shardings(mesh, params)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(_put_host, params, shardings)
+
+
+def put_like(host_tree, ref_tree):
+    """Commit a host pytree onto the shardings of a live (possibly
+    global) tree — the restore path's re-shard, collective-free."""
+    return jax.tree_util.tree_map(
+        lambda h, r: _put_host(h, r.sharding), host_tree, ref_tree
+    )

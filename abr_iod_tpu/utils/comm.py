@@ -38,6 +38,22 @@ def synchronize() -> None:
     multihost_utils.sync_global_devices("abr_iod_tpu.synchronize")
 
 
+def host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Cross-process barrier over the coordination service — NO device
+    collectives.  Use around compilation: XLA:CPU's Gloo rendezvous gives
+    a peer a hard ~30 s window to show up, so letting one rank execute a
+    collective while another is still compiling kills the run; this
+    barrier (generous, configurable timeout) lines the ranks up first.
+    No-op single-process or when the distributed client is absent."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def all_gather_objects(obj: Any) -> List[Any]:
     """Gather an arbitrary picklable object from every host (reference
     utils/comm.py:48-88: pickle → pad-to-max byte tensor → all_gather →
