@@ -143,21 +143,48 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
 
     # optional task heads on the shared pooled features (reference C4
     # roi_heads combiner, roi_heads/roi_heads.py:23-63: the mask/keypoint
-    # branches consume the box branch's features and add their losses)
+    # branches consume the box branch's features and add their losses).
+    # The reference trains these branches on the POSITIVE rois only
+    # (mask_head.py keep_only_positive_boxes:14-36; keypoint_head.py:26-31)
+    # — its dynamic-shape subset becomes a static compaction here: the
+    # sampler caps positives at S*POSITIVE_FRACTION, so a stable
+    # positives-first argsort truncated to that cap keeps every positive
+    # and the loss over the compact set is EXACTLY the full-set loss
+    # (invalid slots carry zero weight), at 1/4 the branch FLOPs.
+    task_heads_on = (
+        (batch.gt_mask_crops is not None and getattr(model, "mask_on", False))
+        or (batch.gt_keypoints is not None
+            and getattr(model, "keypoint_on", False))
+    )
+    if task_heads_on:
+        s_pos = max(
+            int(rois.shape[1]
+                * float(cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION)), 1)
+        is_pos = rvalid & rpos
+        order = jnp.argsort(
+            jnp.where(is_pos, 0, 1), axis=1, stable=True)[:, :s_pos]
+        gather = jax.vmap(lambda a, i: a[i])
+        p_rois = gather(rois, order)
+        p_pos = gather(is_pos, order)
+        p_labels = gather(rlabels, order)
+        p_matched = gather(rmatched, order)
+        p_feats = gather(roi_feats, order)
+
     if batch.gt_mask_crops is not None and getattr(model, "mask_on", False):
         from ..models.mask_head import mask_rcnn_loss_from_crops
 
         if hasattr(model, "mask_from_roi_features"):
             mask_logits = model.apply(
-                params, roi_feats, method="mask_from_roi_features"
-            )  # [B, S, 2P, 2P, C]
+                params, p_feats, method="mask_from_roi_features"
+            )  # [B, S_pos, 2P, 2P, C]
         else:
             # non-shared mask extractor (FBNet: its own pool + 'mask'
             # blocks, reference fbnet.py:240-248)
-            mask_logits = model.apply(params, features, rois, method="mask_heads")
+            mask_logits = model.apply(params, features, p_rois,
+                                      method="mask_heads")
         loss_mask = mask_rcnn_loss_from_crops(
-            mask_logits, rois, rlabels, rvalid & rpos,
-            batch.gt_mask_crops, batch.gt_boxes, rmatched,
+            mask_logits, p_rois, p_labels, p_pos,
+            batch.gt_mask_crops, batch.gt_boxes, p_matched,
         )
         total = total + loss_mask
         metrics["loss_mask"] = loss_mask
@@ -167,20 +194,20 @@ def forward_detection_losses(model, params, batch: Batch, key, cfg, anchors,
 
         if hasattr(model, "keypoints_from_roi_features"):
             kp_logits = model.apply(
-                params, roi_feats, method="keypoints_from_roi_features"
-            )  # [B, S, H, H, K]
+                params, p_feats, method="keypoints_from_roi_features"
+            )  # [B, S_pos, H, H, K]
         else:
             # non-shared keypoint extractor (FBNet: its own pool + 'kpts'
             # blocks, reference fbnet.py:225-237)
-            kp_logits = model.apply(params, features, rois,
+            kp_logits = model.apply(params, features, p_rois,
                                     method="keypoint_heads")
-        b_, s_ = rois.shape[:2]
-        roi_kps = jax.vmap(lambda kps, m: kps[m])(batch.gt_keypoints, rmatched)
+        b_, s_ = p_rois.shape[:2]
+        roi_kps = jax.vmap(lambda kps, m: kps[m])(batch.gt_keypoints, p_matched)
         loss_kp = keypoint_rcnn_loss(
             kp_logits.reshape((b_ * s_,) + kp_logits.shape[2:]),
-            rois.reshape(b_ * s_, 4),
+            p_rois.reshape(b_ * s_, 4),
             roi_kps.reshape(b_ * s_, *roi_kps.shape[2:]),
-            (rvalid & rpos).reshape(b_ * s_),
+            p_pos.reshape(b_ * s_),
         )
         total = total + loss_kp
         metrics["loss_kp"] = loss_kp

@@ -285,3 +285,45 @@ def test_keypoint_eval_decodes_keypoints(rng):
         # decoded keypoints land inside their detection boxes
         assert (k[..., 0] >= b[:, None, 0] - 1).all()
         assert (k[..., 0] <= b[:, None, 2] + 1).all()
+
+
+def test_positive_compaction_is_lossless():
+    """The train step feeds the mask/keypoint branches a positives-first
+    compact prefix of the sampled rois (reference mask_head.py
+    keep_only_positive_boxes:14-36 as a static gather).  The branches are
+    per-roi maps and both losses weight invalid slots by zero with a
+    positives-count denominator, so the compacted loss must EQUAL the
+    full-set loss bit-for-bit — pinned here on the keypoint loss."""
+    from abr_iod_tpu.models.keypoint_head import keypoint_rcnn_loss
+
+    B, S, frac, H, K = 2, 16, 0.25, 8, 5
+    cap = int(S * frac)
+    rng = np.random.RandomState(0)
+    # <= cap positives per image, scattered anywhere
+    is_pos = np.zeros((B, S), bool)
+    for i in range(B):
+        is_pos[i, rng.choice(S, rng.randint(1, cap + 1), replace=False)] = True
+    logits = rng.randn(B, S, H, H, K).astype(np.float32)
+    rois = np.zeros((B, S, 4), np.float32)
+    rois[..., 2:] = rng.uniform(20, 60, (B, S, 2))
+    kps = np.zeros((B, S, K, 3), np.float32)
+    kps[..., 0] = rng.uniform(0, 50, (B, S, K))
+    kps[..., 1] = rng.uniform(0, 50, (B, S, K))
+    kps[..., 2] = rng.randint(0, 3, (B, S, K))
+
+    full = keypoint_rcnn_loss(
+        jnp.asarray(logits.reshape(B * S, H, H, K)),
+        jnp.asarray(rois.reshape(B * S, 4)),
+        jnp.asarray(kps.reshape(B * S, K, 3)),
+        jnp.asarray(is_pos.reshape(B * S)),
+    )
+    order = jnp.argsort(jnp.where(jnp.asarray(is_pos), 0, 1),
+                        axis=1, stable=True)[:, :cap]
+    g = jax.vmap(lambda a, i: a[i])
+    compact = keypoint_rcnn_loss(
+        g(jnp.asarray(logits), order).reshape(B * cap, H, H, K),
+        g(jnp.asarray(rois), order).reshape(B * cap, 4),
+        g(jnp.asarray(kps), order).reshape(B * cap, K, 3),
+        g(jnp.asarray(is_pos), order).reshape(B * cap),
+    )
+    assert float(full) == float(compact), (float(full), float(compact))

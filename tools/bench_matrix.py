@@ -60,6 +60,10 @@ def _base_cfg():
     # no effect on step time (BENCH_MATRIX_LR to override)
     cfg.SOLVER.BASE_LR = float(os.environ.get("BENCH_MATRIX_LR", "0.0002"))
     cfg.SOLVER.WARMUP_ITERS = 0
+    # BENCH_MATRIX_NMS=pallas|xla: A/B the proposal-path NMS backend
+    # (cfg.TPU.NMS_BACKEND; ops/nms_pallas.py vs ops/nms.py)
+    if os.environ.get("BENCH_MATRIX_NMS"):
+        cfg.TPU.NMS_BACKEND = os.environ["BENCH_MATRIX_NMS"]
     return cfg
 
 
@@ -218,11 +222,18 @@ def _run_family(family, batch_per_chip, iters, warmup):
         loss0 = float(metrics["loss"])
         t_compile = time.perf_counter() - t_compile
 
+        # BENCH_PROFILE=<dir>: xplane trace of the timed loop into
+        # <dir>/<family> (aggregate with tools/analyze_xplane.py)
+        prof_dir = os.environ.get("BENCH_PROFILE")
+        if prof_dir:
+            jax.profiler.start_trace(os.path.join(prof_dir, family))
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = run(state)
         loss = float(metrics["loss"])
         dt = time.perf_counter() - t0
+        if prof_dir:
+            jax.profiler.stop_trace()
 
     if not np.isfinite(loss):
         raise RuntimeError(
