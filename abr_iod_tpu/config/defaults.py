@@ -336,11 +336,14 @@ _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)
 # NMS tile-sweep backend.  'pallas' (or 'auto': pallas on TPU, xla
 # elsewhere) runs ops/nms_pallas.py — 2.3x the XLA sweep in isolation at
-# the 12k-candidate pool with identical keep sets, but NEUTRAL on the
-# flagship train step and -2% on eval (BASELINE.md round 3: the XLA
-# while-loops overlap async HBM copies, so cutting them does not shorten
-# the critical path).  Default stays the XLA sweep.
-_C.TPU.NMS_BACKEND = "xla"
+# the 12k-candidate pool with identical keep sets.  'default' resolves
+# per call site: single-level (C4) sweeps stay xla (full-step A/B was
+# NEUTRAL on train, -2% on eval — the XLA while-loops hide behind async
+# HBM copies, BASELINE.md round 3), while the multi-level folded FPN
+# sweep — where the proposal path IS the critical path — gets pallas on
+# TPU (same-session A/B: fpn 41.6->45.6, fpn_abr 32.0->35.9 img/s;
+# BASELINE.md round 5).
+_C.TPU.NMS_BACKEND = "default"
 _C.TPU.SCAN_BLOCKS = False  # lax.scan over identical residual blocks (smaller HLO, faster compile)
 _C.TPU.ROI_CHUNK = 1024  # RoIAlign roi-chunking cap: leaves both the train head
 # (512 RoIs) and the reference TEST statistics (1000 proposals) unchunked —

@@ -229,7 +229,7 @@ def select_proposals_multilevel(
 
     nms = functools.partial(
         nms_padded, iou_threshold=nms_thresh, max_output=post_nms_top_n,
-        presorted=True,
+        presorted=True, multi_level=True,
     )
     # group adjacent levels with equal pool sizes; one vmapped sweep per
     # group over the folded [B*group] axis, zero padding

@@ -26,23 +26,29 @@ NEG_INF = -1e10
 # Tile-sweep backend: "pallas" (or "auto": pallas on TPU, xla elsewhere)
 # runs ops/nms_pallas.py — one Mosaic program instead of ~400 tiny XLA
 # loop steps, 2.3x faster in isolation at the 12k-candidate pool with
-# identical keep sets.  The default stays "xla" because the full-step
-# A/B measured neutral on train and -2% on eval: the XLA while-loops
-# overlap the step's async HBM copies, so a faster NMS does not shorten
-# the critical path (BASELINE.md round 3).
-_BACKEND = "xla"  # auto | pallas | xla
+# identical keep sets.  "default" resolves per call site: on C4's
+# single-level path the XLA while-loop hides behind the step's async
+# HBM copies (full-step A/B neutral on train, -2% eval, BASELINE.md
+# round 3) so it stays xla; on the MULTI-LEVEL folded FPN sweep the
+# proposal path IS the critical path and pallas wins the same-session
+# real-chip A/B (fpn 41.6→45.6, fpn_abr 32.0→35.9 img/s; retinanet has
+# no train NMS, neutral — BASELINE.md round 5), so multi-level callers
+# get pallas on TPU.
+_BACKEND = "default"  # default | auto | pallas | xla
 
 
 def set_nms_backend(name: str) -> None:
     """Select the sweep backend (cfg TPU.NMS_BACKEND; trace-time)."""
     global _BACKEND
-    if name not in ("auto", "pallas", "xla"):
+    if name not in ("default", "auto", "pallas", "xla"):
         raise ValueError(f"unknown NMS backend {name!r}")
     _BACKEND = name
 
 
-def _pallas_enabled(backend: str | None) -> bool:
+def _pallas_enabled(backend: str | None, multi_level: bool = False) -> bool:
     b = _BACKEND if backend is None else backend
+    if b == "default":
+        return multi_level and jax.default_backend() == "tpu"
     if b == "auto":
         return jax.default_backend() == "tpu"
     return b == "pallas"
@@ -92,6 +98,7 @@ def nms_padded(
     tile: int = 128,
     presorted: bool = False,
     backend: str | None = None,
+    multi_level: bool = False,
 ):
     """Greedy NMS over fixed-size padded inputs.
 
@@ -121,7 +128,7 @@ def nms_padded(
         b = b[order]
         v = v[order]
 
-    if _pallas_enabled(backend) and tile == 128:
+    if _pallas_enabled(backend, multi_level) and tile == 128:
         from .nms_pallas import nms_sweep_pallas
 
         keep = nms_sweep_pallas(
