@@ -50,6 +50,7 @@ class COCODataSource:
         is_train: bool = True,
         num_old_categories: int = 70,
         num_new_categories: int = 10,
+        contiguous_labels: bool = False,
     ):
         self.img_root = img_root
         self.is_train = is_train
@@ -62,16 +63,32 @@ class COCODataSource:
         )
         id_order = [cid for cid, _ in cats_by_id]
         self.id_to_name = dict(cats_by_id)
-        # label mapping: COCO jsons use the alphabetical re-indexing
-        # (coco.py:81-90); non-COCO category sets (e.g. the VOC2012
+        # label mapping: COCO-id jsons use the alphabetical re-indexing
+        # keyed on the ORIGINAL coco category id (reference coco.py:81-90's
+        # global coco_ids table — applies to subsets too, as long as the
+        # names/ids are COCO's); non-COCO category sets (e.g. the VOC2012
         # instance jsons) fall back to the reference's
-        # json_category_id_to_contiguous_id (sorted-id order)
-        if all(n in CAT_TO_ALPHA_LABEL for _, n in cats_by_id):
+        # json_category_id_to_contiguous_id (sorted-id order).
+        # contiguous_labels=True forces the sorted-id mapping for jsons
+        # whose categories happen to reuse COCO names but target a small
+        # head (the synthetic person-keypoint set: alphabetical 'person'
+        # is label 50, which overflows a 2-class head and NaN-poisons the
+        # box losses through OOB fill-mode gathers).
+        if not contiguous_labels and all(
+            n in CAT_TO_ALPHA_LABEL for _, n in cats_by_id
+        ):
             self._label_of = {
                 cid: CAT_TO_ALPHA_LABEL[n] for cid, n in cats_by_id
             }
         else:
             self._label_of = {cid: i + 1 for i, cid in enumerate(id_order)}
+
+        # contiguous-label → display name (index 0 = background), for eval
+        # reporting (run_test's per-class AP line)
+        n_labels = max(self._label_of.values(), default=0)
+        self.label_names = ["__background__"] * (n_labels + 1)
+        for cid, name in cats_by_id:
+            self.label_names[self._label_of[cid]] = name
 
         new_ids = set(id_order[num_old_categories : num_old_categories + num_new_categories])
         seen_ids = set(id_order[: num_old_categories + num_new_categories])

@@ -202,6 +202,13 @@ class DetectionLoader:
         # (seed, iter, global position), so worker count never changes the
         # produced batches — only how fast the host keeps the device fed.
         self.num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+        # fail-loud label-range gate: a data source whose contiguous labels
+        # exceed the configured head silently poisons training — OOB
+        # fill-mode gathers in the box losses yield NaN values with ZERO
+        # gradients, so the run "trains" while cls/reg learn nothing
+        # (observed with a category-subset COCO json under the alphabetical
+        # remap).  One cheap max() per record catches it at the source.
+        self.num_classes = int(cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES)
         self._pool = None
         self._portrait_cache: dict = {}
         # resized-canvas LRU: (index, min_size, canvas) → (uint8 canvas,
@@ -406,7 +413,8 @@ class DetectionLoader:
                     self._meta_cache.setdefault(bkey[:3], tuple(size_hw))
                     if flipped:
                         canvas, boxes = T.hflip(canvas, size_hw, boxes)
-                pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
+                pb, pl, pm = pad_boxes(
+                    boxes, self._checked_labels(record), self.max_gt)
                 crops = (self._mask_crops(record, flipped)
                          if self.mask_crop_size else None)
                 kps = (self._padded_keypoints(record, size_hw, flipped)
@@ -438,12 +446,24 @@ class DetectionLoader:
             canvas = T.normalize(
                 canvas, self.cfg.INPUT.PIXEL_MEAN, bool(self.cfg.INPUT.TO_BGR255)
             )
-        pb, pl, pm = pad_boxes(boxes, record["labels"], self.max_gt)
+        pb, pl, pm = pad_boxes(
+            boxes, self._checked_labels(record), self.max_gt)
         crops = self._mask_crops(record, flipped) if self.mask_crop_size else None
         kps = (self._padded_keypoints(record, size_hw, flipped)
                if self.num_keypoints else None)
         return (canvas, np.asarray(size_hw, np.int32), pb, pl, pm, record,
                 crops, None, kps)
+
+    def _checked_labels(self, record):
+        labels = record["labels"]
+        if len(labels) and int(np.max(labels)) >= self.num_classes:
+            raise ValueError(
+                f"dataset label {int(np.max(labels))} >= "
+                f"MODEL.ROI_BOX_HEAD.NUM_CLASSES ({self.num_classes}) — the "
+                "data source's contiguous labels don't fit the configured "
+                "head (check the dataset's category remapping / NAME_*_CLASSES)"
+            )
+        return labels
 
     def _mask_crops(self, record, flipped: bool) -> np.ndarray:
         """[MAX_GT, R, R] float32: each gt instance's mask cropped to its

@@ -103,12 +103,19 @@ def make_data_source(cfg, dataset_name: str, mode: str):
             from ..data.coco import COCODataSource as cls
         else:
             from ..data.voc2012_instance import VOC2012InstanceDataSource as cls
-        return cls(
-            os.path.join(root, f"ann_{spec['split']}.json"),
-            os.path.join(root, "img"),
+        kwargs = dict(
             is_train=(mode != "test_all"),
             num_old_categories=len(old_names),
             num_new_categories=max(len(new_names), 1),
+        )
+        if factory == "SyntheticKeypointDataset":
+            # the person-only json reuses the COCO name but targets a
+            # small head — force sorted-id contiguous labels (person=1)
+            kwargs["contiguous_labels"] = True
+        return cls(
+            os.path.join(root, f"ann_{spec['split']}.json"),
+            os.path.join(root, "img"),
+            **kwargs,
         )
     if factory.startswith("Synthetic"):
         root = os.path.join(DatasetCatalog.DATA_DIR, "synthetic_voc/VOC2007")
@@ -803,9 +810,17 @@ def run_test(cfg, params=None, logger=None, max_images=None,
         f"eval: {n_done} images in {dt:.1f}s ({dt / max(n_done,1):.3f} s/img), "
         f"mAP={result['map']:.4f}"
     )
+    # class names: the data source's own labeling when it carries one
+    # (COCO-json sources), the VOC list otherwise
+    label_names = getattr(source, "label_names", None)
+
+    def _name(l):
+        if label_names and l < len(label_names):
+            return label_names[l]
+        return VOC_CLASSES[l - 1] if l - 1 < len(VOC_CLASSES) else f"class{l}"
+
     per_class = {
-        (VOC_CLASSES[l - 1] if l - 1 < len(VOC_CLASSES) else f"class{l}"):
-            float(result["ap"][l])
+        _name(l): float(result["ap"][l])
         for l in range(1, len(result["ap"]))
         if not np.isnan(result["ap"][l])
     }

@@ -189,7 +189,7 @@ def test_loader_keypoint_targets(tmp_path):
     src = COCODataSource(os.path.join(root, "ann_train.json"),
                          os.path.join(root, "img"),
                          is_train=True, num_old_categories=0,
-                         num_new_categories=1)
+                         num_new_categories=1, contiguous_labels=True)
     assert len(src) == 4
     rec = src.annotation(0)
     assert rec["keypoints"].shape == (len(rec["boxes"]), 17, 3)
@@ -234,7 +234,7 @@ def test_loader_keypoint_flip(tmp_path):
     src = COCODataSource(os.path.join(root, "ann_train.json"),
                          os.path.join(root, "img"),
                          is_train=True, num_old_categories=0,
-                         num_new_categories=1)
+                         num_new_categories=1, contiguous_labels=True)
     cfg = get_default_config()
     cfg.MODEL.KEYPOINT_ON = True
     cfg.INPUT.MIN_SIZE_TRAIN = (96,)

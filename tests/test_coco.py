@@ -289,3 +289,58 @@ def test_crowd_only_image_kept_like_reference(tmp_path):
     assert len(src_tr) == 1
     rec_tr = src_tr.annotation(0)
     assert rec_tr["boxes"].shape == (0, 4)
+
+
+def test_subset_categories_stay_contiguous(tmp_path):
+    """contiguous_labels=True opts a COCO-named json out of the
+    alphabetical re-indexing (used by the synthetic person-keypoint set:
+    mapping 'person' to its alphabetical label 50 would overflow the
+    2-class head and NaN-poison the box losses via OOB fill-mode
+    gathers)."""
+    images = [{"id": 0, "file_name": "0.jpg", "height": 96, "width": 128}]
+    annotations = [{"id": 1, "image_id": 0, "category_id": 1, "iscrowd": 0,
+                    "bbox": [10, 10, 60, 40], "area": 2400}]
+    ann = tmp_path / "person_only.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+    }))
+    src = COCODataSource(str(ann), str(tmp_path), is_train=True,
+                         num_old_categories=0, num_new_categories=1,
+                         contiguous_labels=True)
+    assert src.annotation(0)["labels"].tolist() == [1]
+    # without the opt-out the reference's id-keyed alphabetical protocol
+    # applies even to subsets (person → 50)
+    src_ref = COCODataSource(str(ann), str(tmp_path), is_train=True,
+                             num_old_categories=0, num_new_categories=1)
+    assert src_ref.annotation(0)["labels"].tolist() == [50]
+
+
+def test_loader_rejects_labels_beyond_head(tmp_path):
+    """Fail-loud gate: a source whose labels exceed the configured head
+    raises at batch prep instead of silently training with NaN-valued
+    zero-gradient box losses."""
+    import jax
+
+    from abr_iod_tpu.config import get_default_config
+    from abr_iod_tpu.data.loader import DetectionLoader
+
+    class BadSource:
+        def __len__(self):
+            return 1
+
+        def annotation(self, i):
+            return {"boxes": np.array([[5.0, 5.0, 40.0, 40.0]], np.float32),
+                    "labels": np.array([50], np.int64),
+                    "width": 64, "height": 48, "difficult": np.array([False])}
+
+        def load_image(self, i):
+            return np.zeros((48, 64, 3), np.float32)
+
+    cfg = get_default_config()
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 2
+    cfg.TPU.CANVAS_TRAIN = (64, 96)
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    loader = DetectionLoader(BadSource(), cfg, batch_size=1, is_train=True)
+    with pytest.raises(ValueError, match="NUM_CLASSES"):
+        next(loader.batches(max_batches=1))
