@@ -455,8 +455,13 @@ class DetectionLoader:
                 crops, None, kps)
 
     def _checked_labels(self, record):
+        # train only: training indexes class logits by gt label (OOB =
+        # NaN-valued zero-grad losses); eval gt labels feed ONLY the metric,
+        # and evaluating a small-head model on a full test set (mode
+        # "test_all" keeps old+new+excluded classes) is legitimate.
         labels = record["labels"]
-        if len(labels) and int(np.max(labels)) >= self.num_classes:
+        if (self.is_train and len(labels)
+                and int(np.max(labels)) >= self.num_classes):
             raise ValueError(
                 f"dataset label {int(np.max(labels))} >= "
                 f"MODEL.ROI_BOX_HEAD.NUM_CLASSES ({self.num_classes}) — the "

@@ -344,3 +344,16 @@ def test_loader_rejects_labels_beyond_head(tmp_path):
     loader = DetectionLoader(BadSource(), cfg, batch_size=1, is_train=True)
     with pytest.raises(ValueError, match="NUM_CLASSES"):
         next(loader.batches(max_batches=1))
+
+    # Eval streams must NOT trip the gate: ground-truth labels feed only
+    # the metric (never index logits), and the reference's chain protocol
+    # evaluates a small-head FIRST model against the FULL test set
+    # (data_mode "test_all" keeps old+new+excluded classes — see
+    # reference dataset filtering in maskrcnn_benchmark/data).
+    cfg_eval = get_default_config()
+    cfg_eval.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 2
+    cfg_eval.TPU.CANVAS_TEST = (64, 96)
+    eval_loader = DetectionLoader(BadSource(), cfg_eval, batch_size=1,
+                                  is_train=False)
+    batch = next(eval_loader.batches(max_batches=1))
+    assert batch is not None
