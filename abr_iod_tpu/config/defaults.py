@@ -334,6 +334,16 @@ _C.TPU.ASYNC_CHECKPOINT = True
 _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
 _C.TPU.ROI_ALIGN_PRECISION = "default"  # 'default' (bf16 MXU) | 'highest'
 _C.TPU.USE_PALLAS_ROI_ALIGN = False  # fused Pallas RoIAlign kernel (TPU only)
+# Multi-level (FPN) RoIAlign realization (models/fpn.py fpn_roi_align):
+# 'einsum' pools every RoI from every level with the dense
+# interpolation-matrix contraction (cost scales with map area — ~35% of
+# the FPN train step by xplane profile); 'gather' pools each RoI's
+# P*P*g*g*4 bilinear taps from its ASSIGNED level only (the reference
+# poolers.py structure), cost independent of map area.  'default' =
+# gather for static sampling ratios (the shipped FPN configs), einsum
+# for the adaptive ratio-0 grid.  Outputs match to f32 rounding
+# (tests/test_fpn_gather.py).
+_C.TPU.FPN_ROI_ALIGN_BACKEND = "default"
 # NMS tile-sweep backend.  'pallas' (or 'auto': pallas on TPU, xla
 # elsewhere) runs ops/nms_pallas.py — 2.3x the XLA sweep in isolation at
 # the 12k-candidate pool with identical keep sets.  'default' resolves

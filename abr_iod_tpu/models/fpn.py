@@ -92,21 +92,79 @@ def fpn_level_mapper(rois: jnp.ndarray, k_min: int = 2, k_max: int = 5,
 
 def fpn_roi_align(features: Sequence[jnp.ndarray], rois: jnp.ndarray,
                   output_size: int = 7, scales=(0.25, 0.125, 0.0625, 0.03125),
-                  sampling_ratio: int = 2, precision: str = "highest"):
-    """Multi-level RoIAlign (reference: modeling/poolers.py Pooler for FPN):
-    pool every RoI from every level, select by level assignment.  The
-    selection is a static 4-way where — TPU-friendlier than per-level
-    dynamic partitions, at 4x pooling cost (levels are cheap: each is
-    4x smaller than the last)."""
-    from ..ops.roi_align import roi_align
+                  sampling_ratio: int = 2, precision: str = "highest",
+                  backend: str = "default"):
+    """Multi-level RoIAlign, single image (reference: modeling/poolers.py
+    Pooler for FPN).  Realizations (TPU.FPN_ROI_ALIGN_BACKEND):
+      * 'einsum' — pool every RoI from every level with the dense
+        interpolation-matrix contraction (ops/roi_align.py), select by
+        level assignment with a static 4-way where.  4x pooling cost and
+        the einsum cost scales with map area — on the 208x336 P2 map the
+        matrices are ~99.5% zeros (measured ~35% of the FPN train step).
+      * 'gather' — each RoI gathers its P*P*g*g*4 bilinear taps from its
+        ASSIGNED level only (the reference's per-level index_select
+        structure), cost independent of map area
+        (ops/roi_align.py multilevel_roi_align_gather).  Measured 32%
+        SLOWER than einsum on the full TPU FPN step (XLA row
+        gathers/scatters ~40 GB/s, BASELINE.md round 5) — kept as a
+        tested alternative for hardware where gathers are fast.
+      * 'sorted' — batched-only; see fpn_roi_align_batched.
+    'default' resolves to 'einsum' here; the batched entry point resolves
+    it to 'sorted' (the conditional level skip needs batch-uniform
+    predicates, impossible under per-image vmap).
+    """
+    from ..ops.roi_align import (
+        multilevel_roi_align_einsum,
+        multilevel_roi_align_gather,
+    )
 
+    if backend == "default":
+        backend = "einsum"
     lvl = fpn_level_mapper(rois)
-    pooled = [
-        roi_align(f, rois, output_size=output_size, spatial_scale=s,
-                  sampling_ratio=sampling_ratio, precision=precision)
-        for f, s in zip(features, scales)
-    ]
-    out = pooled[0]
-    for i in range(1, len(pooled)):
-        out = jnp.where((lvl == i)[:, None, None, None], pooled[i], out)
-    return out
+    if backend == "gather":
+        # positional: custom_vjp + nondiff_argnums rejects kwargs
+        return multilevel_roi_align_gather(
+            list(features), rois, lvl, output_size, tuple(scales),
+            sampling_ratio, precision,
+        )
+    if backend != "einsum":
+        raise ValueError(f"unknown FPN RoIAlign backend {backend!r}")
+    return multilevel_roi_align_einsum(
+        list(features), rois, lvl, output_size=output_size,
+        scales=tuple(scales), sampling_ratio=sampling_ratio,
+        precision=precision,
+    )
+
+
+def fpn_roi_align_batched(features: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                          output_size: int = 7,
+                          scales=(0.25, 0.125, 0.0625, 0.03125),
+                          sampling_ratio: int = 2, precision: str = "highest",
+                          backend: str = "default"):
+    """Batched multi-level RoIAlign: features list of [B,h,w,C], rois
+    [B,S,4] → [B,S,P,P,C].  This is the entry the FPN heads use.
+
+    'default' resolves to 'sorted' for static sampling ratios —
+    ops/roi_align.py multilevel_roi_align_sorted: stable-sort RoIs by
+    assigned level, then one batch-uniform `lax.cond` per (chunk, level)
+    pair so only the assigned-level einsums execute (typically ~1/3 of
+    the plain einsum work, worst case equal; values match to float
+    rounding, tests/test_fpn_gather.py).  The adaptive ratio-0 grid and
+    the explicit 'einsum'/'gather' backends run per image under vmap.
+    """
+    if backend == "default":
+        backend = "sorted" if sampling_ratio >= 1 else "einsum"
+    if backend == "sorted":
+        from ..ops.roi_align import multilevel_roi_align_sorted
+
+        lvl = fpn_level_mapper(rois)
+        return multilevel_roi_align_sorted(
+            list(features), rois, lvl, output_size=output_size,
+            scales=tuple(scales), sampling_ratio=sampling_ratio,
+            precision=precision,
+        )
+    fn = lambda fs, r: fpn_roi_align(
+        fs, r, output_size=output_size, scales=tuple(scales),
+        sampling_ratio=sampling_ratio, precision=precision, backend=backend,
+    )
+    return jax.vmap(fn, in_axes=(0, 0))(list(features), rois)

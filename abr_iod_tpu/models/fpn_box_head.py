@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .fpn import fpn_roi_align
+from .fpn import fpn_roi_align_batched
 
 
 class FPNBoxHead(nn.Module):
@@ -41,21 +41,22 @@ class FPNBoxHead(nn.Module):
     # TPU.ROI_ALIGN_PRECISION ('default' = bf16 MXU einsums, 'highest' =
     # f32 — same knob the C4 box head honors, models/box_head.py:32)
     roi_align_precision: str = "default"
+    # TPU.FPN_ROI_ALIGN_BACKEND (models/fpn.py fpn_roi_align dispatch)
+    roi_align_backend: str = "default"
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], rois: jnp.ndarray):
         """features: P2..P5 [B,h,w,C]; rois [B,S,4] →
         (logits [B,S,K], box_reg [B,S,4K], roi_feats [B,S,P,P,C])."""
         b, s = rois.shape[:2]
-        pool = jax.vmap(
-            lambda fs, r: fpn_roi_align(
-                fs, r, output_size=self.pooler_resolution,
-                scales=self.pooler_scales,
-                sampling_ratio=self.pooler_sampling_ratio,
-                precision=self.roi_align_precision,
-            ),
-            in_axes=(0, 0),
-        )(features[: len(self.pooler_scales)], rois)
+        pool = fpn_roi_align_batched(
+            features[: len(self.pooler_scales)], rois,
+            output_size=self.pooler_resolution,
+            scales=self.pooler_scales,
+            sampling_ratio=self.pooler_sampling_ratio,
+            precision=self.roi_align_precision,
+            backend=self.roi_align_backend,
+        )
         if self.extractor == "FPNXconv1fcFeatureExtractor":
             x = pool.reshape((b * s,) + pool.shape[2:]).astype(self.dtype)
             d = self.dilation

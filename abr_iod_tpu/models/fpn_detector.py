@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .backbone import ResNetFPNBackbone
-from .fpn import fpn_roi_align
+from .fpn import fpn_roi_align_batched
 from .fpn_box_head import FPNBoxHead
 from .keypoint_head import KeypointRCNNFeatureExtractor, KeypointRCNNPredictor
 from .mask_head import MaskRCNNC4Predictor, MaskRCNNFPNFeatureExtractor
@@ -68,6 +68,9 @@ class FasterRCNNFPN(nn.Module):
     # TPU.ROI_ALIGN_PRECISION for every multi-level pool (box/mask/
     # keypoint) — same knob the C4 family honors (models/detector.py:45)
     roi_align_precision: str = "default"
+    # TPU.FPN_ROI_ALIGN_BACKEND for every multi-level pool
+    # (models/fpn.py fpn_roi_align dispatch: einsum | gather | default)
+    roi_align_backend: str = "default"
     freeze_at: int = 0
     freeze_all: bool = False
     fpn_use_gn: bool = False
@@ -125,6 +128,7 @@ class FasterRCNNFPN(nn.Module):
             gn=self.gn,
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             roi_align_precision=self.roi_align_precision,
+            roi_align_backend=self.roi_align_backend,
             name="roi_heads",
         )
         if self.mask_on:
@@ -163,15 +167,14 @@ class FasterRCNNFPN(nn.Module):
         if not self.mask_on:
             raise ValueError("model built without mask_on")
         b, s = rois.shape[:2]
-        pool = jax.vmap(
-            lambda fs, r: fpn_roi_align(
-                fs, r, output_size=self.mask_pooler_resolution,
-                scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
-                sampling_ratio=self.mask_pooler_sampling_ratio,
-                precision=self.roi_align_precision,
-            ),
-            in_axes=(0, 0),
-        )(list(pyramid)[:4], rois)
+        pool = fpn_roi_align_batched(
+            list(pyramid)[:4], rois,
+            output_size=self.mask_pooler_resolution,
+            scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
+            sampling_ratio=self.mask_pooler_sampling_ratio,
+            precision=self.roi_align_precision,
+            backend=self.roi_align_backend,
+        )
         x = pool.reshape((b * s,) + pool.shape[2:])
         logits = self.mask_predictor(self.mask_extractor(x))
         return logits.reshape((b, s) + logits.shape[1:])
@@ -182,15 +185,14 @@ class FasterRCNNFPN(nn.Module):
         if not self.keypoint_on:
             raise ValueError("model built without keypoint_on")
         b, s = rois.shape[:2]
-        pool = jax.vmap(
-            lambda fs, r: fpn_roi_align(
-                fs, r, output_size=self.keypoint_pooler_resolution,
-                scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
-                sampling_ratio=self.keypoint_pooler_sampling_ratio,
-                precision=self.roi_align_precision,
-            ),
-            in_axes=(0, 0),
-        )(list(pyramid)[:4], rois)
+        pool = fpn_roi_align_batched(
+            list(pyramid)[:4], rois,
+            output_size=self.keypoint_pooler_resolution,
+            scales=tuple(1.0 / st for st in FPN_STRIDES[:4]),
+            sampling_ratio=self.keypoint_pooler_sampling_ratio,
+            precision=self.roi_align_precision,
+            backend=self.roi_align_backend,
+        )
         x = pool.reshape((b * s,) + pool.shape[2:])
         heat = self.keypoint_predictor(self.keypoint_extractor(x))
         return heat.reshape((b, s) + heat.shape[1:])
@@ -281,6 +283,7 @@ def build_fpn_detector(cfg):
         xconv_dilation=int(bh.DILATION),
         dtype=dtype,
         roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
+        roi_align_backend=str(cfg.TPU.get("FPN_ROI_ALIGN_BACKEND", "default")),
         freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT),
         freeze_all=bool(cfg.MODEL.BACKBONE.FREEZE)
         or bool(cfg.MODEL.BACKBONE.get("ALL_FREEZE", False)),

@@ -64,6 +64,10 @@ def _base_cfg():
     # (cfg.TPU.NMS_BACKEND; ops/nms_pallas.py vs ops/nms.py)
     if os.environ.get("BENCH_MATRIX_NMS"):
         cfg.TPU.NMS_BACKEND = os.environ["BENCH_MATRIX_NMS"]
+    # BENCH_MATRIX_FPN_ROI=gather|einsum: A/B the multi-level RoIAlign
+    # realization (cfg.TPU.FPN_ROI_ALIGN_BACKEND; models/fpn.py)
+    if os.environ.get("BENCH_MATRIX_FPN_ROI"):
+        cfg.TPU.FPN_ROI_ALIGN_BACKEND = os.environ["BENCH_MATRIX_FPN_ROI"]
     return cfg
 
 
