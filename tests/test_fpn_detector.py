@@ -348,3 +348,43 @@ def test_gn_non_divisible_realistic_config_rejected():
     with pytest.raises(ValueError, match="DIM_PER_GP"):
         gn_num_groups(64, num_groups=32, dim_per_gp=6)
     assert gn_num_groups(16, num_groups=32) == 16  # tiny-channel fallback
+
+
+@pytest.mark.slow
+def test_fpn_mesh_invariance():
+    """The FPN train step on an 8-way data mesh equals 1 device — in
+    particular the sorted RoIAlign backend's batch-uniform lax.cond
+    predicates (ops/roi_align.py multilevel_roi_align_sorted) must
+    reduce correctly across shards under SPMD partitioning."""
+    from abr_iod_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    cfg = tiny_fpn_cfg()
+    model = build_detection_model(cfg)
+    rng = np.random.RandomState(3)
+    batch = synth_batch(rng, b=8)
+    px = jnp.zeros((1, *CANVAS, 3))
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]])
+    params0 = jax.device_get(
+        jax.jit(model.init)(jax.random.PRNGKey(0), px, rois))
+    tx = make_optimizer(cfg, params0)
+
+    def run_on(n_data):
+        mesh = make_mesh(n_data, 1, devices=jax.devices()[:n_data])
+        with jax.sharding.set_mesh(mesh):
+            sp = shard_params(mesh, params0)
+            step, _ = make_train_step(model, tx, cfg, CANVAS)
+            state = TrainState(sp, tx.init(sp), jnp.zeros((), jnp.int32))
+            state, metrics = step(state, shard_batch(mesh, batch))
+            return float(metrics["loss"]), jax.device_get(state.params)
+
+    loss_1, p_1 = run_on(1)
+    loss_dp, p_dp = run_on(8)
+    assert np.isfinite(loss_1)
+    assert abs(loss_dp - loss_1) / abs(loss_1) < 5e-4, (loss_dp, loss_1)
+    deltas = [
+        float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p_1)
+        )
+    ]
+    assert max(deltas) < 1e-4, max(deltas)
