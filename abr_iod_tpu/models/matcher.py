@@ -14,8 +14,10 @@ Static-shape semantics:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 BELOW_LOW_THRESHOLD = -1
@@ -53,3 +55,30 @@ def match(
         out = jnp.where(recover, matches, out)
 
     return MatchResult(out, jnp.maximum(matches, 0), matched_vals)
+
+
+def take_matched_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                      backend: str | None = None) -> jnp.ndarray:
+    """``table[idx]`` — row-gather of a small gt table ([M,K]) by a large
+    per-anchor index vector ([N] int32 in [0,M)) — realized as a one-hot
+    contraction on the MXU.
+
+    At RetinaNet's dense-anchor scale (8 x 209k indices into a 64-row
+    table per step) XLA lowers the native gather to serial scalar-indexed
+    fusions measured at ~16 ms/step on TPU v5e (xplane, BASELINE.md
+    round 5); the equivalent ``onehot(idx) @ table`` streams through the
+    matmul unit instead.  Every one-hot row holds exactly one nonzero,
+    so each output element is a single ``1.0 * value`` product —
+    ``Precision.HIGHEST`` (the f32 multi-pass decomposition) reproduces
+    the gathered f32 values exactly; integer payloads up to 2**24 are
+    likewise exact through f32.  ``ABR_TAKE_MATCHED=gather`` (or
+    backend='gather') forces the native gather for A/B.
+    """
+    if backend is None:
+        backend = os.environ.get("ABR_TAKE_MATCHED", "onehot")
+    if backend == "gather":
+        return table[idx]
+    m = table.shape[0]
+    onehot = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :]).astype(
+        table.dtype)
+    return jax.lax.dot(onehot, table, precision=jax.lax.Precision.HIGHEST)

@@ -115,13 +115,19 @@ def retinanet_loss(cls_logits, box_reg, anchors, gt_boxes, gt_labels, gt_mask,
     def one(logits, reg, boxes, labels, mask):
         quality = B.masked_iou(boxes, mask, anchors, jnp.ones(anchors.shape[0], bool))
         res = M.match(quality, mask, fg_iou, bg_iou, allow_low_quality_matches=True)
-        t_labels = labels[res.matched_gt].astype(jnp.int32)
+        # one fused matched-row take of the [M,5] (box, label) payload
+        # for all N anchors (take_matched_rows: the native per-anchor
+        # gather pair cost ~16 ms/step at this scale)
+        payload = jnp.concatenate(
+            [boxes, labels.astype(boxes.dtype)[:, None]], axis=1)
+        matched = M.take_matched_rows(payload, res.matched_gt)
+        t_labels = matched[:, 4].astype(jnp.int32)
         t_labels = jnp.where(res.matched_idx == M.BELOW_LOW_THRESHOLD, 0, t_labels)
         t_labels = jnp.where(res.matched_idx == M.BETWEEN_THRESHOLDS, -1, t_labels)
         pos = t_labels > 0
 
         cls_sum = sigmoid_focal_loss(logits, t_labels, gamma=gamma, alpha=alpha).sum()
-        reg_targets = B.encode_boxes(boxes[res.matched_gt], anchors,
+        reg_targets = B.encode_boxes(matched[:, :4], anchors,
                                      weights=tuple(box_weights))
         reg_l = smooth_l1_loss(reg, reg_targets, beta=beta).sum(-1)
         return cls_sum, jnp.sum(jnp.where(pos, reg_l, 0.0)), jnp.sum(

@@ -80,3 +80,17 @@ def test_balanced_indices_randomness_differs():
     a = S.balanced_sample_indices(labels, jax.random.PRNGKey(3), 64, 0.25)
     b = S.balanced_sample_indices(labels, jax.random.PRNGKey(4), 64, 0.25)
     assert not np.array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+def test_take_matched_rows_equals_gather():
+    # the one-hot MXU realization must reproduce the native row-gather
+    # exactly: realistic payload = [M,5] (box coords up to canvas scale,
+    # integer labels), indices at dense-anchor scale
+    rng = np.random.RandomState(7)
+    table = np.concatenate(
+        [rng.uniform(0, 1344, size=(64, 4)).astype(np.float32),
+         rng.randint(0, 21, size=(64, 1)).astype(np.float32)], axis=1)
+    idx = rng.randint(0, 64, size=20000).astype(np.int32)
+    via_dot = np.asarray(
+        M.take_matched_rows(jnp.asarray(table), jnp.asarray(idx), backend="onehot"))
+    np.testing.assert_array_equal(via_dot, table[idx])
