@@ -784,4 +784,9 @@ def build_fbnet_detector(cfg):
         keypoint_pooler_resolution=int(
             cfg.MODEL.ROI_KEYPOINT_HEAD.get("POOLER_RESOLUTION", 14)),
         roi_align_precision=str(cfg.TPU.ROI_ALIGN_PRECISION),
+        # same conv/matmul compute-dtype policy as the resnet families
+        # (build.py:87); the fbnet xplane trace showed the whole trunk
+        # running f32 convs before this was threaded through
+        dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+               "float16": jnp.float16}[str(cfg.TPU.COMPUTE_DTYPE)],
     )
